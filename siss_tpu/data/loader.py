@@ -1,0 +1,85 @@
+"""Host-side batching with background prefetch.
+
+The reference uses torch ``DataLoader`` with 0 workers (synchronous); here
+batches are assembled on the host by a small thread that stays one-or-more
+steps ahead, so H2D transfer and input assembly overlap TPU compute.
+Batches are NHWC float32 numpy; device placement (with mesh sharding) is the
+trainer's job via ``siss_tpu.parallel.shard_batch``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """dataset + index-sampler → infinite iterator of stacked batches."""
+
+    def __init__(self, dataset, sampler, batch_size: int, prefetch: int = 2,
+                 collate: Optional[Callable] = None, drop_last: bool = True):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.collate = collate or _default_collate
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def _batches(self) -> Iterator[Any]:
+        buf = []
+        for idx in self.sampler:
+            buf.append(self.dataset[idx])
+            if len(buf) == self.batch_size:
+                yield self.collate(buf)
+                buf = []
+        # finite sampler tail (RepeatedSampler is finite)
+        if buf and not self.drop_last:
+            yield self.collate(buf)
+
+    def __iter__(self) -> Iterator[Any]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(b)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is _SENTINEL:
+                    return
+                yield b
+        finally:
+            stop.set()
+
+
+def _default_collate(items):
+    first = items[0]
+    if isinstance(first, tuple):
+        return tuple(np.stack([it[i] for it in items]) for i in range(len(first)))
+    return np.stack(items)
+
+
+def dual_stream(keep_iter: Iterator, forget_iter: Iterator, accum_steps: int) -> Iterator[dict]:
+    """Zip the keep/forget loaders into [A, mb, ...] microbatched step inputs
+    (the reference's dual infinite dataloaders, ``delete_tshirt.py:272-288``,
+    folded into the scan axis of the jitted step)."""
+    while True:
+        keep = np.stack([next(keep_iter) for _ in range(accum_steps)])
+        forget = np.stack([next(forget_iter) for _ in range(accum_steps)])
+        yield {"all": keep, "deletion": forget}

@@ -1,0 +1,167 @@
+"""Building blocks for the diffusion model zoo (flax.linen, NHWC).
+
+These blocks reproduce the *math* of the diffusers modules the reference
+models are built from (``UNet2DModel``/``UNet2DConditionModel`` internals:
+timestep embeddings, ResnetBlock2D, spatial self/cross attention,
+Down/Upsample2D) so that HF checkpoints can be converted weight-for-weight
+(`siss_tpu.utils.hf_convert`), while the layout is TPU-native: NHWC
+activations, channel-last convs (XLA's preferred layout on TPU), bf16-ready,
+and attention expressed as batched matmuls that XLA tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_timestep_embedding(
+    timesteps: jax.Array,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = False,
+    downscale_freq_shift: float = 1.0,
+    scale: float = 1.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers ``get_timestep_embedding``
+    semantics (incl. the ``freq_shift`` quirk used by google/ddpm-* models)."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear → SiLU → Linear projection of the sinusoidal embedding."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm → SiLU → Conv, time-emb add, GroupNorm → SiLU → Conv, +skip."""
+
+    out_channels: int
+    use_conv_shortcut: bool = False
+    dropout: float = 0.0
+    groups: int = 32
+    eps: float = 1e-6
+    output_scale_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array], deterministic: bool = True) -> jax.Array:
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+
+        if temb is not None:
+            temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + temb_proj[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+
+        if residual.shape[-1] != self.out_channels:
+            if self.use_conv_shortcut:
+                residual = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_shortcut")(residual)
+            else:
+                residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(residual)
+
+        return (h + residual) / self.output_scale_factor
+
+
+class SpatialAttention(nn.Module):
+    """Self-attention over the H×W grid (diffusers ``Attention`` applied to
+    2D feature maps inside Attn{Down,Up,Mid}Block2D).
+
+    One fused QKV-style computation per block: reshape [B,H,W,C]→[B,HW,C],
+    scaled dot-product attention with `heads` heads, residual add. All
+    contractions are einsum-shaped so XLA maps them to the MXU.
+    """
+
+    channels: int
+    num_heads: int = 1
+    groups: int = 32
+    eps: float = 1e-6
+    rescale_output_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+
+        head_dim = C // self.num_heads
+        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+
+        def split(a):
+            return a.reshape(B, H * W, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = 1.0 / math.sqrt(head_dim)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+        out = out.reshape(B, H, W, C)
+        return (out + residual) / self.rescale_output_factor
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 conv downsample. ``padding=0`` reproduces the DDPM asymmetric
+    (0,1,0,1) pad used by google/ddpm-* checkpoints; ``padding=1`` is the
+    symmetric diffusers default."""
+
+    out_channels: int
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = ((0, 0), (0, 0))
+        else:
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest-neighbour 2× upsample + 3×3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)

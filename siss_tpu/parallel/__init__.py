@@ -1,0 +1,17 @@
+from siss_tpu.parallel.mesh import (
+    MeshConfig,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_params_fsdp,
+    shard_batch,
+)
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_params_fsdp",
+    "shard_batch",
+]

@@ -1,0 +1,333 @@
+"""The jitted unlearning train step: loss → paired gradients → surgery → update.
+
+This is the centerpiece of the framework (SURVEY.md §7.3). The reference
+implements the SISS gradient-surgery step as two Python-side ``backward()``
+passes with host-side norm loops (``delete_celeb.py:682-767``); here the
+whole pipeline — q(x_t|x_0) noising, defensive-mixture loss, the two
+gradient pytrees, global norms, ``scaling_norm`` rescale, clip-to-1, optax
+update and EMA — is ONE XLA program with zero host syncs:
+
+* shared-forward losses (SISS, subscore-Bernoulli) use a single ``jax.vjp``
+  pulled twice (one forward, two backwards — the ``retain_graph`` semantics
+  of ``delete_celeb.py:690``);
+* two-forward losses (double-forward, EraseDiff) take two independent
+  ``jax.grad``s;
+* gradient accumulation is a ``lax.scan`` over the microbatch axis carrying
+  ``(g_x, g_a)`` accumulator trees (reference: Accelerate ``accumulate()``
+  + the manual ``accum_loss_a`` dict, ``delete_celeb.py:702-712``);
+* under a sharded ``Mesh``, gradients and both global norms are computed on
+  the *fully-reduced* gradients automatically — XLA inserts the psums —
+  matching the reference's post-DDP-allreduce surgery ordering (SURVEY §2.8).
+
+Normalisation matches the reference exactly: each microbatch loss is
+``sum() / global_microbatch_size`` (``delete_celeb.py:683-687`` plus DDP
+mean), and accumulated gradients are averaged over microbatches (Accelerate
+divides by ``gradient_accumulation_steps``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from siss_tpu.diffusion.schedule import NoiseSchedule, q_sample, snr_weights
+from siss_tpu.losses.deletion import (
+    DeletionLoss,
+    SCALAR_PATH_LOSSES,
+    SHARED_FORWARD_LOSSES,
+)
+from siss_tpu.train.ema import ema_update
+from siss_tpu.train.state import TrainState
+
+EpsApply = Callable[[Any, jax.Array, jax.Array, Any], jax.Array]
+# (params, noisy_latents, timesteps, conditioning) -> eps prediction
+
+
+def global_norm(tree) -> jax.Array:
+    """Global L2 norm of a pytree, accumulated in float32
+    (reference: ``delete_celeb.py:716-737``, but on-device)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+
+
+def tree_dot(a, b) -> jax.Array:
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    return sum(jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32)) for x, y in zip(la, lb))
+
+
+def clip_by_global_norm(tree, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics (``delete_celeb.py:767``)."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree.map(lambda g: g * scale.astype(g.dtype), tree), norm
+
+
+def _tensor_stats(x: jax.Array, prefix: str) -> Dict[str, jax.Array]:
+    """loss*/mean|max|min|std over per-sample means — the reference's
+    wandb ``batch_stats`` block (``delete_celeb.py:626-655``)."""
+    per_sample = x.mean(axis=tuple(range(1, x.ndim))) if x.ndim > 1 else x
+    return {
+        f"{prefix}/mean": x.mean(),
+        f"{prefix}/max": per_sample.max(),
+        f"{prefix}/min": per_sample.min(),
+        f"{prefix}/std": per_sample.std(),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class DeletionStepConfig:
+    """Static knobs of the unlearning step (from the Hydra-surface config)."""
+
+    loss_fn: str = "importance_sampling_with_mixture"
+    loss_params: Tuple[Tuple[str, float], ...] = (("lambd", 0.5),)
+    scaling_norm: float = 5.0
+    eta: float = 1e-3                    # EraseDiff projection slack
+    max_grad_norm: float = 1.0
+    grad_accum_steps: int = 1
+    # Timestep sampling window [t_min, t_max): full-range for tshirt
+    # (``delete_tshirt.py:535-540``), fixed 999 for celeb/SD
+    # (``delete_celeb.py:593-598`` — a deliberate reference quirk).
+    t_min: int = 0
+    t_max: int = 1000
+    # Zero out a non-finite scaling factor (``delete_tshirt.py:688-690``).
+    guard_inf_scaling: bool = True
+    use_ema: bool = False
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 0.75
+    ema_max_decay: float = 0.9999
+    # SD options (``delete_sd.py:893-904``): offset noise / input perturbation.
+    noise_offset: float = 0.0
+    input_perturbation: float = 0.0
+
+    @property
+    def is_scalar_path(self) -> bool:
+        return self.loss_fn in SCALAR_PATH_LOSSES
+
+    @property
+    def is_shared_forward(self) -> bool:
+        return self.loss_fn in SHARED_FORWARD_LOSSES
+
+
+def build_deletion_train_step(
+    eps_apply: EpsApply,
+    schedule: NoiseSchedule,
+    tx: optax.GradientTransformation,
+    cfg: DeletionStepConfig,
+):
+    """Returns ``step(state, batch, key, dyn_scalars) -> (state, metrics)``.
+
+    ``batch``: dict with
+      - "all":      [A, mb, ...]  keep-set clean latents (A = accum steps)
+      - "deletion": [A, mb, ...]  forget-set clean latents
+      - "conditioning": optional pytree with leading [A, mb, ...] axes
+    ``dyn_scalars``: dict of runtime-decayed loss params (e.g. superfactor,
+    reference ``delete_celeb.py:658-662``) merged over cfg.loss_params.
+    """
+    loss_obj = DeletionLoss(gamma=schedule.gamma, sigma=schedule.sigma)
+    loss_method = getattr(loss_obj, cfg.loss_fn)
+    static_params = dict(cfg.loss_params)
+
+    def microbatch_terms(params, keep, forget, cond, key, dyn_scalars):
+        """Compute (term_x, term_a | scalar loss, stats) for one microbatch."""
+        mb = keep.shape[0]
+        k_noise, k_t, k_loss, k_perturb = jax.random.split(key, 4)
+        noise = jax.random.normal(k_noise, keep.shape, dtype=keep.dtype)
+        if cfg.noise_offset > 0.0:
+            # offset noise trick: per-sample-per-channel DC shift.
+            off_shape = keep.shape[:1] + (1,) * (keep.ndim - 2) + keep.shape[-1:]
+            noise = noise + cfg.noise_offset * jax.random.normal(k_perturb, off_shape, dtype=keep.dtype)
+        timesteps = jax.random.randint(k_t, (mb,), cfg.t_min, cfg.t_max)
+
+        input_noise = noise
+        if cfg.input_perturbation > 0.0:
+            input_noise = noise + cfg.input_perturbation * jax.random.normal(k_perturb, noise.shape, dtype=noise.dtype)
+
+        all_samples = {
+            "og_latents": keep,
+            "noisy_latents": q_sample(schedule, keep, input_noise, timesteps),
+        }
+        deletion_samples = {
+            "og_latents": forget,
+            "noisy_latents": q_sample(schedule, forget, input_noise, timesteps),
+        }
+        loss_params = {**static_params, **dyn_scalars}
+
+        def eps_fn(x, t, c):
+            return eps_apply(params, x, t, c)
+
+        out = loss_method(
+            eps_fn, k_loss, timesteps, noise, cond, all_samples, deletion_samples, **loss_params
+        )
+        stats = {}
+        for name, field in [("loss", out.loss), ("loss_x", out.loss_x), ("loss_a", out.loss_a)]:
+            if field is not None:
+                stats.update(_tensor_stats(field, name))
+        for name, field in [
+            ("importance_weight_x", out.importance_weight_x),
+            ("importance_weight_a", out.importance_weight_a),
+        ]:
+            if field is not None:
+                stats.update(_tensor_stats(field, name))
+        return out, stats, mb
+
+    if cfg.is_scalar_path:
+
+        def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            def scalar_loss(p):
+                out, stats, mb = microbatch_terms(p, keep, forget, cond, key, dyn_scalars)
+                return out.loss.sum() / mb, stats
+
+            (_, stats), g = jax.value_and_grad(scalar_loss, has_aux=True)(params)
+            return g, None, stats
+
+    elif cfg.is_shared_forward:
+
+        def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            def two_terms(p):
+                out, stats, mb = microbatch_terms(p, keep, forget, cond, key, dyn_scalars)
+                return (out.weighted_loss_x.sum() / mb, out.weighted_loss_a.sum() / mb), stats
+
+            # ONE forward, TWO backward pulls over the shared graph
+            # (= retain_graph=True in the reference).
+            _, pullback, stats = jax.vjp(two_terms, params, has_aux=True)
+            one = jnp.ones((), jnp.float32)
+            zero = jnp.zeros((), jnp.float32)
+            (g_x,) = pullback((one, zero))
+            (g_a,) = pullback((zero, one))
+            return g_x, g_a, stats
+
+    else:  # independent forwards per term → two independent grads
+
+        def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            def term(p, which):
+                out, stats, mb = microbatch_terms(p, keep, forget, cond, key, dyn_scalars)
+                wl = out.weighted_loss_x if which == "x" else out.weighted_loss_a
+                return wl.sum() / mb, stats
+
+            g_x, stats = jax.grad(lambda p: term(p, "x"), has_aux=True)(params)
+            g_a, _ = jax.grad(lambda p: term(p, "a"), has_aux=True)(params)
+            return g_x, g_a, stats
+
+    def step(state: TrainState, batch: Dict[str, Any], key: jax.Array,
+             dyn_scalars: Optional[Dict[str, jax.Array]] = None):
+        dyn_scalars = dyn_scalars or {}
+        keep_all = batch["all"]
+        forget_all = batch["deletion"]
+        cond_all = batch.get("conditioning")
+        A = keep_all.shape[0]
+        keys = jax.random.split(key, A)
+
+        zeros_like_params = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+        def body(carry, xs):
+            g_x_acc, g_a_acc = carry
+            if cond_all is None:
+                keep, forget, k = xs
+                cond = None
+            else:
+                keep, forget, cond, k = xs
+            g_x, g_a, stats = micro_grads(state.params, keep, forget, cond, k, dyn_scalars)
+            g_x_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_x_acc, g_x)
+            if g_a is not None:
+                g_a_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_a_acc, g_a)
+            return (g_x_acc, g_a_acc), stats
+
+        xs = (keep_all, forget_all, keys) if cond_all is None else (keep_all, forget_all, cond_all, keys)
+        (g_x, g_a), stats = jax.lax.scan(body, (zeros_like_params, zeros_like_params), xs)
+        # Mean over microbatches (Accelerate divides by accumulation steps).
+        g_x = jax.tree.map(lambda g: g / A, g_x)
+        g_a = jax.tree.map(lambda g: g / A, g_a)
+
+        metrics = {k: v.mean() for k, v in stats.items()}
+
+        if cfg.is_scalar_path:
+            final_grad = g_x
+        else:
+            norm_x = global_norm(g_x)
+            norm_a = global_norm(g_a)
+            if cfg.loss_fn == "erasediff":
+                # Projected-gradient step (``delete_celeb.py:740-742``).
+                scaling = cfg.eta - tree_dot(g_x, g_a) / (norm_a**2)
+                scaling = -jnp.maximum(scaling, 0.0)
+            else:
+                # scaling_norm clip of the forget gradient
+                # (``delete_celeb.py:746``).
+                scaling = cfg.scaling_norm / norm_a
+            if cfg.guard_inf_scaling:
+                scaling = jnp.where(jnp.isfinite(scaling), scaling, 0.0)
+            final_grad = jax.tree.map(lambda x, a: x - scaling * a, g_x, g_a)
+            metrics["gradient/norm_loss_x"] = norm_x
+            metrics["gradient/norm_loss_a"] = norm_a
+            metrics["gradient/scaling_factor"] = scaling
+
+        final_grad, pre_clip_norm = clip_by_global_norm(final_grad, cfg.max_grad_norm)
+        metrics["gradient/pre_clip_norm"] = pre_clip_norm
+
+        final_grad = jax.tree.map(lambda g, p: g.astype(p.dtype), final_grad, state.params)
+        updates, new_opt_state = tx.update(final_grad, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = ema_update(
+                state.ema, new_params,
+                inv_gamma=cfg.ema_inv_gamma, power=cfg.ema_power, max_decay=cfg.ema_max_decay,
+            )
+
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1, ema=new_ema
+        )
+        return new_state, metrics
+
+    return step
+
+
+def build_pretrain_step(
+    eps_apply: EpsApply,
+    schedule: NoiseSchedule,
+    tx: optax.GradientTransformation,
+    *,
+    prediction_type: str = "epsilon",
+    max_grad_norm: float = 1.0,
+    use_ema: bool = True,
+    ema_inv_gamma: float = 1.0,
+    ema_power: float = 0.75,
+    ema_max_decay: float = 0.9999,
+):
+    """Standard DDPM pretraining step (``train_unconditional.py:366-415``):
+    epsilon-MSE, or SNR-weighted sample-prediction loss."""
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array):
+        k_noise, k_t = jax.random.split(key)
+        noise = jax.random.normal(k_noise, batch.shape, dtype=batch.dtype)
+        timesteps = jax.random.randint(k_t, (batch.shape[0],), 0, schedule.num_train_timesteps)
+        noisy = q_sample(schedule, batch, noise, timesteps)
+
+        def loss_fn(p):
+            pred = eps_apply(p, noisy, timesteps, None)
+            if prediction_type == "epsilon":
+                loss = ((pred - noise) ** 2).mean()
+            elif prediction_type == "sample":
+                w = snr_weights(schedule, timesteps, pred)
+                loss = (w * (pred - batch) ** 2).mean()
+            else:
+                raise ValueError(prediction_type)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads, grad_norm = clip_by_global_norm(grads, max_grad_norm)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = ema_update(state.ema, new_params, inv_gamma=ema_inv_gamma,
+                                 power=ema_power, max_decay=ema_max_decay)
+        new_state = TrainState(params=new_params, opt_state=new_opt_state,
+                               step=state.step + 1, ema=new_ema)
+        return new_state, {"loss": loss, "gradient/pre_clip_norm": grad_norm}
+
+    return step

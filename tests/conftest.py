@@ -1,0 +1,31 @@
+"""Test harness: force an 8-virtual-device CPU platform before JAX loads.
+
+This is how JAX projects test mesh/DP logic without a real multi-chip slice
+(SURVEY.md §4). All tests run on CPU; real-TPU benchmarking lives in
+``bench.py``.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A sitecustomize in some environments force-selects an accelerator plugin
+# via jax.config (which beats env vars); put CPU back for the test suite.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
