@@ -1,0 +1,102 @@
+"""Sampling/evaluation harness — the reference ``Evaluator`` surface
+(``evaluate.py``) over the fused `lax.scan` samplers.
+
+* ``sample_images``  ← ``evaluate.py:37-50`` (DDPM pipeline ancestral loop;
+  output numpy NHWC in [0,1], like diffusers' ``output_type="numpy"``)
+* ``denoise_images`` ← ``evaluate.py:64-79`` (manual reverse loop from a
+  given timestep — used for denoising-injection metrics)
+* ``make_grid_from_images`` ← ``evaluate.py:81-90`` (torch-free grid maker,
+  1-channel aware)
+
+Sampling functions are jit-cached per (batch-shape, steps) and optionally
+seeded for reproducible panels (``set_generator`` semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm
+from siss_tpu.diffusion.schedule import NoiseSchedule
+
+
+class Evaluator:
+    """Wraps an eps-model + schedule into a sampling/eval harness."""
+
+    def __init__(self, eps_apply: Callable, schedule: NoiseSchedule,
+                 sample_shape: tuple, num_inference_steps: int = 50,
+                 random_seed: int = 0):
+        """``eps_apply(params, x, t, cond) -> eps``; ``sample_shape`` is
+        (H, W, C)."""
+        self.eps_apply = eps_apply
+        self.schedule = schedule
+        self.sample_shape = tuple(sample_shape)
+        self.num_inference_steps = num_inference_steps
+        self.random_seed = random_seed
+        self._sample_jit = functools.lru_cache(maxsize=8)(self._build_sample)
+        self._denoise_jit = functools.lru_cache(maxsize=8)(self._build_denoise)
+
+    def _build_sample(self, batch_size: int, steps: int):
+        shape = (batch_size, *self.sample_shape)
+
+        @jax.jit
+        def fn(params, key):
+            def eps_fn(x, t, cond):
+                return self.eps_apply(params, x, t, cond)
+
+            return sample_ddpm(eps_fn, self.schedule, key, shape, steps)
+
+        return fn
+
+    def _build_denoise(self, t_start: int):
+        @jax.jit
+        def fn(params, x_t, key):
+            def eps_fn(x, t, cond):
+                return self.eps_apply(params, x, t, cond)
+
+            return denoise_from_t(eps_fn, self.schedule, key, x_t, t_start)
+
+        return fn
+
+    def sample_images(self, params, num_samples: int, num_inference_steps: Optional[int] = None,
+                      set_generator: bool = False, key: Optional[jax.Array] = None) -> np.ndarray:
+        """Ancestral DDPM samples as numpy NHWC float in [0, 1]."""
+        steps = num_inference_steps or self.num_inference_steps
+        if key is None:
+            key = jax.random.PRNGKey(self.random_seed if set_generator else np.random.randint(2**31))
+        imgs = self._sample_jit(num_samples, steps)(params, key)
+        imgs = (np.asarray(imgs) + 1.0) / 2.0
+        return np.clip(imgs, 0.0, 1.0)
+
+    def denoise_images(self, params, noisy_image_batch, timestep: int,
+                       set_generator: bool = True, key: Optional[jax.Array] = None) -> np.ndarray:
+        """Reverse-diffuse a noised batch from ``timestep`` → 0; numpy NHWC
+        in [0, 1] (``evaluate.py:64-79``)."""
+        if key is None:
+            key = jax.random.PRNGKey(self.random_seed if set_generator else np.random.randint(2**31))
+        out = self._denoise_jit(int(timestep))(params, jnp.asarray(noisy_image_batch), key)
+        out = (np.asarray(out) + 1.0) / 2.0
+        return np.clip(out, 0.0, 1.0)
+
+    @staticmethod
+    def make_grid_from_images(images: np.ndarray, padding: int = 2) -> np.ndarray:
+        """Square grid of NHWC images (numpy re-implementation of
+        torchvision ``make_grid``; keeps 1-channel images 1-channel)."""
+        n, h, w, c = images.shape
+        ncol = int(np.ceil(np.sqrt(n)))
+        nrow = int(np.ceil(n / ncol))
+        grid = np.zeros(
+            (nrow * h + padding * (nrow + 1), ncol * w + padding * (ncol + 1), c),
+            dtype=images.dtype,
+        )
+        for idx in range(n):
+            r, col = divmod(idx, ncol)
+            y = padding + r * (h + padding)
+            x = padding + col * (w + padding)
+            grid[y:y + h, x:x + w] = images[idx]
+        return grid

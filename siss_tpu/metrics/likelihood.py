@@ -1,0 +1,107 @@
+"""Exact NLL in bits/dim via the probability-flow ODE — fully on-device.
+
+Semantics of ``metrics/song_likelihood/likelihood.py`` (Hutchinson–Skilling
+divergence, VP-SDE reverse probability-flow ODE, ``+7.0`` bits offset for
+[-1,1]-scaled 8-bit data) with the TPU-native redesign SURVEY §3.4 calls
+for: the divergence uses ``jax.jvp`` (ε·Jε, identical in expectation and in
+value to the reference's ε·J^Tε autograd form) and the whole adaptive RK45
+integration is one jitted ``lax.while_loop`` — zero host round-trips.
+
+Discrete-time score conversion matches ``song_likelihood/utils.py:143-159``:
+labels = t·(N−1), score = −ε_θ(x, ⌊labels⌋)/σ[⌊labels⌋].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siss_tpu.diffusion.ode import odeint_rk4, odeint_rk45
+from siss_tpu.diffusion.schedule import NoiseSchedule
+from siss_tpu.diffusion.sde import VPSDE
+
+
+class LikelihoodEvaluator:
+    """``evaluate_likelihood(params, img_batch) -> (bpd[B], z, nfe)``
+    (reference surface: ``metrics/likelihood.py:3-9``)."""
+
+    def __init__(self, eps_apply: Callable, sde: VPSDE = VPSDE(),
+                 schedule: NoiseSchedule | None = None,
+                 hutchinson_type: str = "Rademacher",
+                 rtol: float = 1e-5, atol: float = 1e-5, t_eps: float = 1e-5,
+                 method: str = "rk45", rk4_steps: int = 180, max_steps: int = 2000):
+        self.eps_apply = eps_apply
+        self.sde = sde
+        # discrete σ table: sqrt(1 - ᾱ) of the DDPM discretization of the SDE
+        if schedule is None:
+            schedule = NoiseSchedule.create(sde.N, "linear", sde.beta_0 / sde.N, sde.beta_1 / sde.N)
+        self.sigma_table = schedule.sigma
+        self.hutchinson_type = hutchinson_type
+        self.rtol, self.atol, self.t_eps = rtol, atol, t_eps
+        self.method = method
+        self.rk4_steps = rk4_steps
+        self.max_steps = max_steps
+        self._jit = {}
+
+    def _score_fn(self, params, x, t):
+        """ε-model → score (discrete-time conversion, ``utils.py:143-159``)."""
+        labels = t * (self.sde.N - 1)
+        idx = labels.astype(jnp.int32)
+        eps_pred = self.eps_apply(params, x, idx, None)
+        std = self.sigma_table[idx]
+        return -eps_pred / std.reshape((-1,) + (1,) * (x.ndim - 1))
+
+    def _build(self, shape: Tuple[int, ...]):
+        B = shape[0]
+        sde = self.sde
+
+        def drift_fn(params, x, t):
+            vec_t = jnp.full((B,), t)
+            score = self._score_fn(params, x, vec_t)
+            return sde.probability_flow_drift(x, t, score)
+
+        def likelihood(params, data, key):
+            if self.hutchinson_type == "Gaussian":
+                eps = jax.random.normal(key, shape)
+            elif self.hutchinson_type == "Rademacher":
+                eps = jax.random.rademacher(key, shape, dtype=jnp.float32)
+            else:
+                raise NotImplementedError(self.hutchinson_type)
+
+            def ode_func(state, t):
+                x, _ = state
+                # drift and ε·(Jε) in one jvp — ONE extra forward, no vjp.
+                drift, jvp_out = jax.jvp(lambda xx: drift_fn(params, xx, t), (x,), (eps,))
+                div = jnp.sum(jvp_out * eps, axis=tuple(range(1, x.ndim)))
+                return (drift, div)
+
+            y0 = (data, jnp.zeros((B,)))
+            if self.method == "rk45":
+                (z, delta_logp), nfe = odeint_rk45(
+                    ode_func, y0, self.t_eps, sde.T,
+                    rtol=self.rtol, atol=self.atol, max_steps=self.max_steps,
+                )
+            else:
+                z, delta_logp = odeint_rk4(ode_func, y0, self.t_eps, sde.T, self.rk4_steps)
+                nfe = jnp.asarray(4 * self.rk4_steps, jnp.int32)
+
+            prior_logp = sde.prior_logp(z)
+            N = np.prod(shape[1:])
+            bpd = -(prior_logp + delta_logp) / jnp.log(2.0) / N
+            bpd = bpd + 7.0  # 8-bit data in [-1,1] (``likelihood.py:104-110``)
+            return bpd, z, nfe
+
+        return jax.jit(likelihood)
+
+    def evaluate_likelihood(self, params, img_batch, key=None):
+        img_batch = jnp.asarray(img_batch)
+        shape = tuple(img_batch.shape)
+        if shape not in self._jit:
+            self._jit[shape] = self._build(shape)
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(2**31))
+        return self._jit[shape](params, img_batch, key)

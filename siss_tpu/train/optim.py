@@ -1,0 +1,52 @@
+"""Optimizer / LR-schedule builders from the config surface.
+
+Maps the reference's torch optimizer configs (AdamW with betas/eps/wd,
+``config/delete_celeb.yaml:127-134``) and Accelerate LR schedules
+("constant"/"cosine" with warmup, ``config/train_tshirt_mnist.yaml:60-63``)
+onto optax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import optax
+
+
+def build_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
+                      total_steps: Optional[int] = None):
+    name = (name or "constant").lower()
+    if name == "constant":
+        sched = optax.constant_schedule(base_lr)
+    elif name == "cosine":
+        decay_steps = max((total_steps or 10000) - warmup_steps, 1)
+        sched = optax.cosine_decay_schedule(base_lr, decay_steps)
+    elif name == "linear":
+        decay_steps = max((total_steps or 10000) - warmup_steps, 1)
+        sched = optax.linear_schedule(base_lr, 0.0, decay_steps)
+    else:
+        raise ValueError(f"Unknown lr_scheduler {name!r}")
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [warmup_steps])
+    return sched
+
+
+def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int = 0,
+                    total_steps: Optional[int] = None) -> optax.GradientTransformation:
+    """``cfg``: config node with keys mirroring torch.optim.AdamW
+    (lr, betas, weight_decay, eps). ``_target_`` is accepted and mapped."""
+    target = str(cfg.get("_target_", "torch.optim.AdamW")) if hasattr(cfg, "get") else "torch.optim.AdamW"
+    lr = float(cfg["lr"]) if hasattr(cfg, "__getitem__") else float(cfg.lr)
+    betas = cfg.get("betas", [0.9, 0.999])
+    wd = float(cfg.get("weight_decay", 0.0))
+    eps = float(cfg.get("eps", cfg.get("adam_epsilon", 1e-8)))
+    sched = build_lr_schedule(lr_scheduler, lr, warmup_steps, total_steps)
+    name = target.rsplit(".", 1)[-1].lower()
+    if name in ("adamw",):
+        return optax.adamw(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps, weight_decay=wd)
+    if name in ("adam",):
+        return optax.adam(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps)
+    if name in ("sgd",):
+        return optax.sgd(sched, momentum=float(cfg.get("momentum", 0.0)))
+    raise ValueError(f"Unsupported optimizer target {target!r}")

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore with rotation and latest-scan.
+
+TPU-native replacement for the reference's Accelerate ``save_state`` +
+diffusers-subfolder hooks (``delete_celeb.py:137-147,788-825``;
+``delete_sd.py:502-536,780-801``): orbax-backed pytree checkpoints of
+``TrainState`` (params, optimizer, EMA, step), ``checkpoint-<step>``
+directory naming, ``checkpoints_total_limit`` rotation, and
+``resume_from_checkpoint="latest"`` scanning.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str, total_limit: Optional[int] = None):
+        self.root = os.path.abspath(output_dir)
+        self.total_limit = total_limit
+        os.makedirs(self.root, exist_ok=True)
+
+    # ----------------------------------------------------------------- paths
+    def _path(self, step: int) -> str:
+        return os.path.join(self.root, f"checkpoint-{step}")
+
+    def list_checkpoints(self):
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"checkpoint-(\d+)", name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.root, name)))
+        return sorted(out)
+
+    def latest(self) -> Optional[str]:
+        """'latest' resume-scan (``delete_sd.py:780-801``)."""
+        cps = self.list_checkpoints()
+        return cps[-1][1] if cps else None
+
+    # ------------------------------------------------------------------ save
+    def save(self, step: int, state: Any):
+        ocp = _ocp()
+        path = self._path(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, state)
+        self._rotate()
+        return path
+
+    def _rotate(self):
+        """``checkpoints_total_limit`` rotation (``delete_celeb.py:788-825``)."""
+        if self.total_limit is None:
+            return
+        cps = self.list_checkpoints()
+        excess = len(cps) - self.total_limit
+        for _, path in cps[:max(excess, 0)]:
+            shutil.rmtree(path, ignore_errors=True)
+
+    # --------------------------------------------------------------- restore
+    def restore(self, path_or_latest: str, template: Any) -> Any:
+        """Restore into the structure of ``template`` (a concrete TrainState
+        or params pytree with matching shapes/dtypes)."""
+        ocp = _ocp()
+        path = self.latest() if path_or_latest == "latest" else path_or_latest
+        if path is None:
+            raise FileNotFoundError(f"No checkpoints under {self.root}")
+        if not os.path.isabs(path):
+            path = os.path.join(self.root, path)
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, template)
+
+    def step_of(self, path: str) -> int:
+        m = re.search(r"checkpoint-(\d+)", path)
+        return int(m.group(1)) if m else 0
