@@ -95,8 +95,8 @@ class Config:
 
     # -- attribute protocol ----------------------------------------------
     def __getattr__(self, key):
-        if key.startswith("_"):
-            raise AttributeError(key)
+        if key.startswith("__") or key == "_data":
+            raise AttributeError(key)  # keep pickling/copy probes sane
         try:
             return self._data[key]
         except KeyError as e:
@@ -253,10 +253,13 @@ def get_object(path: str) -> Any:
     try:
         module = importlib.import_module(module_path)
         return getattr(module, attr)
-    except (ImportError, AttributeError):
+    except (ImportError, AttributeError) as first_err:
         # path may point at a nested attribute: pkg.mod.Class.method
-        parent = get_object(module_path)
-        return getattr(parent, attr)
+        try:
+            parent = get_object(module_path)
+            return getattr(parent, attr)
+        except (ImportError, AttributeError):
+            raise first_err  # surface the real import failure, not the fallback's
 
 
 def instantiate(node: Any, _recursive_: bool = False, **kwargs) -> Any:

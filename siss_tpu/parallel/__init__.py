@@ -2,7 +2,9 @@ from siss_tpu.parallel.mesh import (
     MeshConfig,
     make_mesh,
     batch_sharding,
+    microbatched_sharding,
     replicated_sharding,
+    param_shardings,
     shard_params_fsdp,
     shard_batch,
 )
@@ -11,7 +13,9 @@ __all__ = [
     "MeshConfig",
     "make_mesh",
     "batch_sharding",
+    "microbatched_sharding",
     "replicated_sharding",
+    "param_shardings",
     "shard_params_fsdp",
     "shard_batch",
 ]

@@ -1,0 +1,199 @@
+"""MNIST t-shirt unlearning task (``delete_tshirt.py:71-820`` equivalent).
+
+Dual keep/forget infinite streams feed the fused deletion train step
+(SISS mixture by default, full-range timesteps); metrics mirror the
+reference: t-shirt fraction via the L2 detector with a steps-to-deletion
+summary, NLL on a forget image every ``step_frequency``, optional
+Inception Score with the t-shirt class removed, membership loss.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siss_tpu.config import to_dict
+from siss_tpu.data import BatchLoader, InfiniteSampler, dual_stream
+from siss_tpu.diffusion.sde import VPSDE
+from siss_tpu.evaluate import Evaluator
+from siss_tpu.metrics import InceptionScore, MembershipLoss, TShirtClassifier
+from siss_tpu.metrics.likelihood import LikelihoodEvaluator
+from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
+from siss_tpu.tasks.base import Task
+from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+from siss_tpu.train.optim import build_optimizer
+from siss_tpu.utils import CheckpointManager
+
+
+class DeleteTShirt(Task):
+    def run(self) -> None:
+        cfg = self.cfg
+        tracker = self.make_tracker()
+        mesh = self.make_mesh()
+        key = jax.random.PRNGKey(int(cfg.random_seed))
+
+        dataset_all = self.build_dataset(cfg.dataset_all)
+        dataset_deletion = self.build_dataset(cfg.dataset_deletion)
+        model, ucfg = self.build_unet()
+        schedule = self.build_schedule()
+
+        # ---- pretrained start (EMA weights by default; reference
+        # ``delete_tshirt.py:180-183`` loads unet_ema when use_ema=false)
+        key, init_key = jax.random.split(key)
+        params = model.init_params(init_key)
+        if cfg.get("checkpoint_path"):
+            path = str(cfg.checkpoint_path)
+            subfolder = str(cfg.subfolders.get("unet", "unet"))
+            root, leaf = os.path.split(path.rstrip("/"))
+            mgr = CheckpointManager(root) if leaf == "latest" else CheckpointManager(os.path.dirname(path) or ".")
+            params = mgr.restore_item("latest" if leaf == "latest" else path, subfolder, params)
+        params = shard_params_fsdp(params, mesh)
+
+        def eps_apply(p, x, t, cond):
+            return model.apply({"params": p}, x, t)
+
+        # ---- fused deletion step
+        training_steps = int(cfg.training_steps)
+        tx = build_optimizer(cfg.optimizer, str(cfg.lr_scheduler),
+                             int(cfg.lr_warmup_steps), training_steps)
+        loss_params = tuple(sorted(to_dict(cfg.deletion.get("loss_params") or {}).items()))
+        step_cfg = DeletionStepConfig(
+            loss_fn=str(cfg.deletion.loss_fn),
+            loss_params=loss_params,
+            scaling_norm=float(cfg.deletion.get("scaling_norm", 1.0)),
+            eta=float(cfg.deletion.get("eta", 1e-3)),
+            grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+            t_min=int(cfg.deletion.get("t_min", 0)),
+            t_max=int(cfg.deletion.get("t_max", schedule.num_train_timesteps)),
+            use_ema=bool(cfg.ema.use_ema),
+        )
+        step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
+        state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)
+
+        # ---- data streams (reference ``delete_tshirt.py:272-288``)
+        accum = step_cfg.grad_accum_steps
+        bs = int(cfg.train_batch_size)
+        keep_it = iter(BatchLoader(dataset_all, InfiniteSampler(len(dataset_all), seed=int(cfg.random_seed)), bs))
+        forget_it = iter(BatchLoader(dataset_deletion, InfiniteSampler(len(dataset_deletion), seed=int(cfg.random_seed) + 1), bs))
+        stream = dual_stream(keep_it, forget_it, accum)
+        sharding = microbatched_sharding(mesh)
+
+        # ---- metric components
+        evaluator = Evaluator(eps_apply, schedule,
+                              (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
+                              num_inference_steps=int(cfg.pipeline.num_inference_steps),
+                              random_seed=int(cfg.random_seed))
+        metrics_cfg = cfg.get("metrics") or {}
+        # canonical t-shirt image: from file if present, else first forget
+        # image (synthetic envs)
+        tshirt_path = str(metrics_cfg.get("classifier", {}).get("tshirt_path", "")) if metrics_cfg.get("classifier") else ""
+        if tshirt_path and os.path.exists(tshirt_path):
+            from PIL import Image
+
+            tshirt_img = np.asarray(Image.open(tshirt_path), np.float32) / 255.0
+            if tshirt_img.ndim == 2:
+                tshirt_img = tshirt_img[..., None]
+        else:
+            tshirt_img = (np.asarray(dataset_deletion[0]) + 1.0) / 2.0
+
+        likelihood_cfg = metrics_cfg.get("likelihood")
+        likelihood = None
+        if likelihood_cfg:
+            likelihood = LikelihoodEvaluator(eps_apply, VPSDE(), schedule=schedule, method="rk45")
+
+        membership_cfg = metrics_cfg.get("membership_loss")
+        membership = None
+        if membership_cfg:
+            mc = membership_cfg.class_cfg
+            membership = MembershipLoss(
+                eps_apply, schedule, dataset_all, dataset_deletion,
+                int(mc.num_image_samples), int(mc.num_noise_samples),
+                int(mc.eval_batch_size), seed=int(cfg.random_seed))
+            membership.sample_images()
+            membership.sample_noises(jax.random.PRNGKey(int(cfg.random_seed)))
+
+        is_cfg = metrics_cfg.get("inception_score")
+        inception = None
+        if is_cfg:
+            from siss_tpu.config.core import get_object
+            clf_cfg = cfg.metrics.classifier_cfg
+            arch_fn = get_object(str(clf_cfg.classifier_arch))
+            clf_model = arch_fn(**to_dict(clf_cfg.get("classifier_args") or {}))
+            # classifier checkpoint is optional in offline envs
+            try:
+                from siss_tpu.metrics import Classifier
+                clf_params = CheckpointManager(os.path.dirname(str(clf_cfg.classifier_ckpt))).restore(
+                    str(clf_cfg.classifier_ckpt), clf_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1))))
+                inception = InceptionScore(
+                    Classifier(lambda p, x: clf_model.apply(p, x, train=False), clf_params),
+                    remove_class=int(cfg.deletion.class_label))
+            except Exception:
+                inception = None
+
+        deletion_steps_logged = False
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+
+        def log_metrics(step):
+            nonlocal deletion_steps_logged
+            eval_params = state.ema.params if state.ema is not None else state.params
+            imgs = evaluator.sample_images(eval_params, int(cfg.eval_images), set_generator=True)
+            tracker.log_images("Sampled Images", Evaluator.make_grid_from_images(imgs[:64]), step=step)
+            freq, _ = TShirtClassifier.get_tshirt_frequency(imgs, tshirt_img)
+            m = {"metrics/deletion_class_fraction": freq}
+            if freq == 0.0 and not deletion_steps_logged:
+                tracker.log_summary("deletion_steps", step)  # reference :492-498
+                deletion_steps_logged = True
+            if likelihood is not None and step % int(likelihood_cfg.step_frequency) == 0:
+                forget_img = jnp.asarray(dataset_deletion[0])[None]
+                bpd, _, nfe = likelihood.evaluate_likelihood(eval_params, forget_img)
+                m["metrics/likelihood"] = float(np.asarray(bpd).mean())
+            if membership is not None and step % int(membership_cfg.step_frequency) == 0:
+                for t, (a, d) in zip(membership_cfg.timesteps,
+                                     membership.compute_membership_losses(eval_params, [int(t) for t in membership_cfg.timesteps])):
+                    m[f"membership_loss/all_t={t}"] = a
+                    m[f"membership_loss/deletion_t={t}"] = d
+                    m[f"membership_loss/ratio_t={t}"] = d / a if a else float("nan")
+            if inception is not None and step % int(is_cfg.step_frequency) == 0:
+                n = int(is_cfg.num_imgs_to_generate)
+                done = imgs
+                while len(done) < n:
+                    done = np.concatenate([done, evaluator.sample_images(eval_params, int(is_cfg.batch_size))])
+                inception.update(done[:n])
+                mean, std = inception.compute()
+                m["metrics/is_mean"], m["metrics/is_std"] = mean, std
+            tracker.log(m, step=step)
+
+        # ---- training loop
+        log_metrics(0)
+        superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
+        decay = cfg.deletion.get("superfactor_decay")
+        t_last = time.time()
+        for global_step in range(1, training_steps + 1):
+            batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), next(stream))
+            key, step_key = jax.random.split(key)
+            dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}
+            state, metrics = step_fn(state, batch, step_key, dyn)
+            if superfactor is not None and decay:
+                superfactor = float(superfactor) * float(decay)  # reference :658-662
+                metrics["superfactor"] = superfactor
+            dt = time.time() - t_last
+            t_last = time.time()
+            metrics["images_per_sec"] = bs * accum / dt
+            tracker.log(metrics, step=global_step)
+            if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
+                log_metrics(global_step)
+            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+                ckpt.save_bundle(global_step, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
+
+        ckpt.save_bundle(training_steps, {
+            "state": state, "unet": state.params,
+            "unet_ema": state.ema.params if state.ema is not None else None,
+        })
+        tracker.finish()

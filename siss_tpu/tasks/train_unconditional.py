@@ -1,0 +1,112 @@
+"""DDPM pretraining task (``train_unconditional.py:69-567`` equivalent).
+
+Epsilon-MSE (or SNR-weighted sample-prediction) training with EMA, periodic
+sampling panels, checkpoint rotation and resume — as one jitted step over a
+sharded mesh batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siss_tpu.data import BatchLoader, InfiniteSampler
+from siss_tpu.evaluate import Evaluator
+from siss_tpu.parallel import batch_sharding, shard_params_fsdp
+from siss_tpu.tasks.base import Task
+from siss_tpu.train import TrainState, build_pretrain_step
+from siss_tpu.train.optim import build_optimizer
+from siss_tpu.utils import CheckpointManager
+
+
+class TrainUnconditional(Task):
+    def run(self) -> None:
+        cfg = self.cfg
+        tracker = self.make_tracker()
+        mesh = self.make_mesh()
+        key = jax.random.PRNGKey(int(cfg.random_seed))
+
+        dataset = self.build_dataset(cfg.dataset)
+        model, ucfg = self.build_unet()
+        schedule = self.build_schedule()
+
+        steps_per_epoch = max(len(dataset) // int(cfg.train_batch_size), 1)
+        total_steps = int(cfg.num_epochs) * steps_per_epoch
+        tx = build_optimizer(cfg.optimizer, str(cfg.lr_scheduler),
+                             int(cfg.lr_warmup_steps), total_steps)
+
+        key, init_key = jax.random.split(key)
+        params = model.init_params(init_key)
+        params = shard_params_fsdp(params, mesh)
+        use_ema = bool(cfg.ema.use_ema)
+        state = TrainState.create(params, tx, use_ema=use_ema)
+
+        def eps_apply(p, x, t, cond):
+            return model.apply({"params": p}, x, t)
+
+        step_fn = jax.jit(build_pretrain_step(
+            eps_apply, schedule, tx,
+            prediction_type=str(schedule.prediction_type),
+            use_ema=use_ema,
+            ema_inv_gamma=float(cfg.ema.ema_inv_gamma),
+            ema_power=float(cfg.ema.ema_power),
+            ema_max_decay=float(cfg.ema.ema_max_decay),
+        ))
+
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+
+        def save_checkpoint(step, st):
+            # state + unet/unet_ema subfolders (reference layout,
+            # ``delete_celeb.py:137-147``)
+            ckpt.save_bundle(step, {
+                "state": st,
+                "unet": st.params,
+                "unet_ema": st.ema.params if st.ema is not None else None,
+            })
+
+        global_step = 0
+        if cfg.get("resume_from_checkpoint"):
+            path = ckpt.latest() if cfg.resume_from_checkpoint == "latest" else str(cfg.resume_from_checkpoint)
+            state = ckpt.restore_item(path, "state", state)
+            global_step = int(state.step)
+
+        evaluator = Evaluator(
+            eps_apply, schedule,
+            (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
+            num_inference_steps=int(cfg.pipeline.num_inference_steps),
+            random_seed=int(cfg.random_seed),
+        )
+
+        sharding = batch_sharding(mesh)
+        loader = BatchLoader(dataset, InfiniteSampler(len(dataset), seed=int(cfg.random_seed)),
+                             int(cfg.train_batch_size))
+        it = iter(loader)
+        t_last = time.time()
+        while global_step < total_steps:
+            batch = jax.device_put(jnp.asarray(next(it)), sharding)
+            key, step_key = jax.random.split(key)
+            state, metrics = step_fn(state, batch, step_key)
+            global_step += 1
+
+            if global_step % 50 == 0 or global_step == 1:
+                dt = time.time() - t_last
+                t_last = time.time()
+                tracker.log({
+                    "loss": metrics["loss"],
+                    "gradient/pre_clip_norm": metrics["gradient/pre_clip_norm"],
+                    "images_per_sec": 50 * int(cfg.train_batch_size) / dt if global_step > 1 else 0.0,
+                }, step=global_step)
+
+            if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
+                eval_params = state.ema.params if use_ema else state.params
+                imgs = evaluator.sample_images(eval_params, int(cfg.eval_batch_size), set_generator=True)
+                tracker.log_images("Sampled Images", Evaluator.make_grid_from_images(imgs), step=global_step)
+
+            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+                save_checkpoint(global_step, state)
+
+        save_checkpoint(global_step, state)
+        tracker.finish()

@@ -60,6 +60,35 @@ class CheckpointManager:
         self._rotate()
         return path
 
+    def save_bundle(self, step: int, items: dict):
+        """Save named sub-checkpoints under one checkpoint-<step>/ dir —
+        mirrors the reference's accelerate-state + ``unet/``/``unet_ema/``
+        diffusers subfolders layout (``delete_celeb.py:137-147``)."""
+        ocp = _ocp()
+        path = self._path(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            for name, item in items.items():
+                if item is not None:
+                    ckptr.save(os.path.join(path, name), item)
+        self._rotate()
+        return path
+
+    def restore_item(self, checkpoint_path: str, name: str, template: Any) -> Any:
+        """Restore one named sub-checkpoint (e.g. 'unet_ema') from a
+        checkpoint dir; ``checkpoint_path`` may be 'latest'."""
+        ocp = _ocp()
+        path = self.latest() if checkpoint_path == "latest" else checkpoint_path
+        if path is None:
+            raise FileNotFoundError(f"No checkpoints under {self.root}")
+        if not os.path.isabs(path) and not os.path.exists(path):
+            path = os.path.join(self.root, path)
+        sub = os.path.join(path, name)
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(sub, template)
+
     def _rotate(self):
         """``checkpoints_total_limit`` rotation (``delete_celeb.py:788-825``)."""
         if self.total_limit is None:
