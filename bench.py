@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: SISS unlearning train-step throughput on the flagship
+CelebA-HQ-256 workload (the reference's headline config,
+``config/delete_celeb.yaml``).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (see BASELINE.md): the reference publishes no numbers, so
+``vs_baseline`` is measured-v5e / estimated-A100-reference, where the
+A100 estimate assumes the reference's fp32 (mixed_precision: null) torch
+train step sustains 35% of A100 TF32 peak (156 TFLOP/s) on the same
+step FLOPs. Both numerator FLOPs and the estimate come from XLA's own
+cost analysis of the compiled step, so the comparison is workload-exact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def build(batch_size: int, accum: int, image_size: int, remat: bool):
+    from siss_tpu.diffusion import NoiseSchedule
+    from siss_tpu.models import UNet2D, UNet2DConfig
+    from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+
+    cfg = UNet2DConfig.celebahq_256()
+    if image_size != 256:
+        cfg = UNet2DConfig(**{**cfg.__dict__, "sample_size": image_size})
+    model = UNet2D(cfg, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(lambda v, x, t: model.apply(v, x, t))
+
+    def eps_apply(p, x, t, cond):
+        return apply_fn({"params": p}, x.astype(jnp.bfloat16), t)
+
+    schedule = NoiseSchedule.create(1000, "linear")
+    tx = optax.adamw(5e-6, b1=0.95, b2=0.999, weight_decay=1e-6)
+    step_cfg = DeletionStepConfig(
+        loss_fn="importance_sampling_with_mixture",
+        loss_params=(("lambd", 0.5),),
+        scaling_norm=500.0,
+        grad_accum_steps=accum,
+        t_min=999, t_max=1000,
+    )
+    step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
+    state = TrainState.create(params, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "all": jnp.asarray(rng.normal(size=(accum, batch_size, image_size, image_size, 3)), jnp.float32),
+        "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, image_size, image_size, 3)), jnp.float32),
+    }
+    return step, state, batch
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    n_chips = len(jax.devices())
+    step, state, batch = build(args.batch_size, args.accum, args.image_size, args.remat)
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    lowered = step.lower(state, batch, key, {})
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        step_flops = 0.0
+    state, _ = compiled(state, batch, key, {})
+    jax.block_until_ready(state.params)
+
+    times = []
+    for i in range(args.steps):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        state, metrics = compiled(state, batch, key, {})
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    imgs_per_step = args.batch_size * args.accum
+    ips_per_chip = imgs_per_step / dt / n_chips
+
+    # A100 reference estimate (see module docstring / BASELINE.md)
+    flops_per_image = step_flops / imgs_per_step if step_flops else 0.0
+    a100_ref_ips = (156e12 * 0.35) / flops_per_image if flops_per_image else 0.0
+    vs_baseline = ips_per_chip / a100_ref_ips if a100_ref_ips else 0.0
+
+    achieved_flops = step_flops / dt if step_flops else 0.0
+    mfu_v5e = achieved_flops / 197e12
+
+    print(json.dumps({
+        "metric": "siss_celeb256_train_step_throughput",
+        "value": round(ips_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "batch_size": args.batch_size,
+            "accum": args.accum,
+            "image_size": args.image_size,
+            "n_chips": n_chips,
+            "step_time_s": round(dt, 4),
+            "step_tflops": round(step_flops / 1e12, 2),
+            "mfu_v5e_bf16": round(mfu_v5e, 4),
+            "a100_ref_est_ips": round(a100_ref_ips, 4),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

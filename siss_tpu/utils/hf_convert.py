@@ -1,0 +1,141 @@
+"""HF diffusers checkpoint → siss_tpu flax params converter.
+
+Replaces the reference's ``from_pretrained`` loads (``delete_celeb.py:181``,
+``delete_sd.py:411-468``) with an explicit weight map: torch NCHW/OI
+tensors → flax NHWC/HWIO-IO pytrees for our ``UNet2D`` (and, via the same
+machinery, VAE/CLIP). Template-driven: every leaf of the randomly-init'd
+flax tree must be matched by a torch tensor of the right (transposed)
+shape, so architecture drift fails loudly.
+
+Handles both modern diffusers attention names (``to_q/to_k/to_v/to_out.0``)
+and the pre-0.18 names old hub checkpoints like google/ddpm-celebahq-256
+ship with (``query/key/value/proj_attn``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a diffusers model file (.safetensors or torch .bin) → numpy."""
+    if os.path.isdir(path):
+        for name in ("diffusion_pytorch_model.safetensors", "model.safetensors",
+                     "diffusion_pytorch_model.bin", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(f"No model file under {path}")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+_TOP_RE = re.compile(
+    r"^(down_blocks|up_blocks)_(\d+)_(resnets|attentions|downsamplers|upsamplers)_(\d+)$"
+)
+_MID_RE = re.compile(r"^mid_block_(resnets|attentions)_(\d+)$")
+
+# old-style attention parameter names in pre-0.18 checkpoints
+_ATTN_OLD = {"to_q": "query", "to_k": "key", "to_v": "value", "to_out": "proj_attn"}
+
+
+def _flax_path_to_torch_key(path) -> list:
+    """Map a flax param path (tuple of names) to candidate torch keys."""
+    parts = [str(p) for p in path]
+    mod, param = parts[:-1], parts[-1]
+
+    torch_mods = []
+    for p in mod:
+        m = _TOP_RE.match(p)
+        if m:
+            torch_mods += [m.group(1), m.group(2), m.group(3), m.group(4)]
+            continue
+        m = _MID_RE.match(p)
+        if m:
+            torch_mods += ["mid_block", m.group(1), m.group(2)]
+            continue
+        torch_mods.append(p)
+
+    suffix = {"kernel": "weight", "scale": "weight", "bias": "bias", "embedding": "weight"}[param]
+    cands = []
+    base = list(torch_mods)
+    if base and base[-1] == "to_out":
+        cands.append(".".join(base[:-1] + ["to_out", "0", suffix]))
+        cands.append(".".join(base[:-1] + [_ATTN_OLD["to_out"], suffix]))
+    elif base and base[-1] in _ATTN_OLD:
+        cands.append(".".join(base + [suffix]))
+        cands.append(".".join(base[:-1] + [_ATTN_OLD[base[-1]], suffix]))
+    else:
+        cands.append(".".join(base + [suffix]))
+    return cands
+
+
+def _transform(torch_tensor: np.ndarray, flax_leaf_shape, param_name: str) -> np.ndarray:
+    t = np.asarray(torch_tensor)
+    if param_name == "kernel":
+        if t.ndim == 4:      # conv OIHW → HWIO
+            t = t.transpose(2, 3, 1, 0)
+        elif t.ndim == 2:    # linear OI → IO
+            t = t.transpose(1, 0)
+        elif t.ndim == 3:    # old-style 1x1 attn conv [O,I,1] → [I,O]
+            t = t[:, :, 0].transpose(1, 0)
+    if tuple(t.shape) != tuple(flax_leaf_shape):
+        raise ValueError(f"shape mismatch for {param_name}: torch {t.shape} vs flax {tuple(flax_leaf_shape)}")
+    return t
+
+
+def convert_unet2d(state_dict: Dict[str, np.ndarray], flax_template: Any) -> Any:
+    """Fill the flax UNet2D param template from a diffusers UNet2DModel
+    state dict. Raises on any unmatched flax leaf; reports unused torch
+    keys that look like parameters."""
+    import jax
+
+    used = set()
+    flat = jax.tree_util.tree_flatten_with_path(flax_template)[0]
+    out = {}
+    for path, leaf in flat:
+        names = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        cands = _flax_path_to_torch_key(names)
+        for key in cands:
+            if key in state_dict:
+                out[names] = _transform(state_dict[key], leaf.shape, names[-1])
+                used.add(key)
+                break
+        else:
+            raise KeyError(f"No torch weight for flax param {'/'.join(map(str, names))}; tried {cands}")
+
+    unused = [k for k in state_dict if k not in used and not k.endswith("num_batches_tracked")]
+    if unused:
+        import warnings
+
+        warnings.warn(f"{len(unused)} torch tensors unused, e.g. {unused[:4]}")
+
+    # rebuild nested dict
+    tree: Dict[str, Any] = {}
+    for names, arr in out.items():
+        cur = tree
+        for n in names[:-1]:
+            cur = cur.setdefault(n, {})
+        cur[names[-1]] = arr
+    return tree
+
+
+def import_hf_unet(model_dir: str, flax_template: Any) -> Any:
+    """One-call import: diffusers model dir (with config.json + weights) →
+    flax params matching ``flax_template``'s structure."""
+    sd = load_torch_state_dict(model_dir)
+    return convert_unet2d(sd, flax_template)
