@@ -66,7 +66,7 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)

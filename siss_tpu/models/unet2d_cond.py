@@ -1,0 +1,254 @@
+"""Text-conditional UNet (Stable Diffusion 1.x) — flax.linen, NHWC.
+
+Architecture-compatible with diffusers ``UNet2DConditionModel`` as used by
+the reference's SD unlearning task (``delete_sd.py:459-468``): cross-
+attention Transformer2D blocks (self-attn → text cross-attn → GEGLU FF)
+interleaved with resnets. TPU-first: NHWC, fused QKV-shaped einsums on the
+MXU, bf16 activations, and optional ``jax.checkpoint`` rematerialisation
+applied per down/mid/up block (the reference's
+``unet.enable_gradient_checkpointing()``, ``delete_sd.py:538-539``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from siss_tpu.models.layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Upsample2D,
+    get_timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConditionConfig:
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+    )
+    layers_per_block: int = 2
+    num_attention_heads: int = 8        # SD v1: 8 heads in every block
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    gradient_checkpointing: bool = False
+
+    @classmethod
+    def sd_v1(cls, gradient_checkpointing: bool = False) -> "UNet2DConditionConfig":
+        return cls(gradient_checkpointing=gradient_checkpointing)
+
+    @classmethod
+    def tiny(cls) -> "UNet2DConditionConfig":
+        """Small config for tests/dryruns."""
+        return cls(
+            sample_size=8, block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1, num_attention_heads=4, cross_attention_dim=32,
+            norm_num_groups=8,
+        )
+
+
+class CrossAttention(nn.Module):
+    """diffusers ``Attention``: LN'd query from x, key/value from context
+    (or x for self-attention); heads × head_dim = channels."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+
+        def split(a, n):
+            return a.reshape(B, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q, Nq), split(k, Nk), split(v, Nk)
+        scale = 1.0 / math.sqrt(self.dim_head)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head, self.context_dim,
+                               dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GroupNorm → 1×1 proj_in → transformer block(s) → 1×1 proj_out + skip."""
+
+    channels: int
+    heads: int
+    context_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, self.channels)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.channels, self.heads, self.channels // self.heads, self.context_dim,
+                dtype=self.dtype, name=f"transformer_blocks_{d}",
+            )(h, context)
+        h = h.reshape(B, H, W, self.channels)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class UNet2DCondition(nn.Module):
+    """Call: ``model.apply({'params': p}, latents_nhwc, t, encoder_hidden_states)``."""
+
+    config: UNet2DConditionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array, timesteps: jax.Array,
+                 encoder_hidden_states: jax.Array) -> jax.Array:
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        context = encoder_hidden_states.astype(self.dtype)
+
+        t_emb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=float(cfg.freq_shift),
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        if cfg.gradient_checkpointing:
+            Res = nn.remat(ResnetBlock2D, prevent_cse=False)
+            Trans = nn.remat(Transformer2D, prevent_cse=False)
+        else:
+            Res, Trans = ResnetBlock2D, Transformer2D
+
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
+
+        skips = [h]
+        for i, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == len(cfg.block_out_channels) - 1
+            with_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(cfg.layers_per_block):
+                h = Res(
+                    out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                    dtype=self.dtype, name=f"down_blocks_{i}_resnets_{j}",
+                )(h, emb)
+                if with_attn:
+                    h = Trans(
+                        out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name=f"down_blocks_{i}_attentions_{j}",
+                    )(h, context)
+                skips.append(h)
+            if not is_final:
+                h = Downsample2D(out_ch, padding=1, dtype=self.dtype,
+                                 name=f"down_blocks_{i}_downsamplers_0")(h)
+                skips.append(h)
+
+        mid_ch = cfg.block_out_channels[-1]
+        h = Res(mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
+        h = Trans(mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                  groups=cfg.norm_num_groups, dtype=self.dtype,
+                  name="mid_block_attentions_0")(h, context)
+        h = Res(mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
+
+        reversed_channels = tuple(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            out_ch = reversed_channels[i]
+            is_final = i == len(cfg.block_out_channels) - 1
+            with_attn = block_type == "CrossAttnUpBlock2D"
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = Res(
+                    out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                    dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}",
+                )(h, emb)
+                if with_attn:
+                    h = Trans(
+                        out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name=f"up_blocks_{i}_attentions_{j}",
+                    )(h, context)
+            if not is_final:
+                h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_blocks_{i}_upsamplers_0")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_out")(h)
+        return h.astype(jnp.float32)
+
+    def init_params(self, key: jax.Array, batch_size: int = 1, context_len: int = 77):
+        cfg = self.config
+        x = jnp.zeros((batch_size, cfg.sample_size, cfg.sample_size, cfg.in_channels), self.dtype)
+        t = jnp.zeros((batch_size,), jnp.int32)
+        ctx = jnp.zeros((batch_size, context_len, cfg.cross_attention_dim), self.dtype)
+        return self.init(key, x, t, ctx)["params"]

@@ -42,6 +42,8 @@ class MeshConfig:
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+    if cfg.data > 0 and cfg.data * cfg.fsdp <= len(devices):
+        devices = devices[: cfg.data * cfg.fsdp]  # explicit sizes may use a subset
     cfg = cfg.resolve(len(devices))
     dev_array = np.asarray(devices).reshape(cfg.data, cfg.fsdp)
     return Mesh(dev_array, axis_names=("data", "fsdp"))

@@ -1,0 +1,313 @@
+"""Stable Diffusion 1.x datapoint unlearning (``delete_sd.py:89-1276``).
+
+Unlearns a memorized image from SD-1.4: frozen VAE + CLIP text encoder,
+trainable conditional UNet with rematerialisation, SISS losses in latent
+space. The whole hot path — VAE-encode of both batches (×scaling_factor,
+``delete_sd.py:879-888``), optional noise offset / input perturbation
+(``:893-904``), t≡999 sampling (``:911-916``), text conditioning
+(``:937-944``), mixture loss, two-pull gradients, surgery — is ONE jitted
+step. Validation mirrors ``log_validation`` (``:170-340``): CFG DDIM
+sampling per prompt with per-step noise-norm curves, kmeans deletion
+fraction, SSCD cosine vs the memorized image, CLIP-IQA — each gated on its
+(external) model being available, like the reference's config toggles.
+Progress is measured in images, not steps (``:777,1130-1131``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siss_tpu.config import Config, to_dict
+from siss_tpu.data import BatchLoader, InfiniteSampler, RepeatedSampler
+from siss_tpu.diffusion.sd_pipeline import StableDiffusionPipeline, sd_noise_schedule
+from siss_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel, load_clip_tokenizer
+from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
+from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
+from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
+from siss_tpu.tasks.base import Task
+from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+from siss_tpu.train.optim import build_lr_schedule
+from siss_tpu.utils import CheckpointManager
+
+
+class DeleteSD(Task):
+    # ------------------------------------------------------------ fill_cfg
+    def fill_cfg(self):
+        """Pull frac_deletion / mem image / prompts from the dataset's JSON
+        side files (``delete_sd.py:342-362``)."""
+        cfg = self.cfg
+        info_path = str(cfg.data_files.clustering_info_path)
+        if os.path.exists(info_path):
+            with open(info_path) as f:
+                info = json.load(f)
+            cfg.deletion.frac_deletion = info.get("frac_deletion", cfg.deletion.get("frac_deletion"))
+            if info.get("mem_img_name"):
+                cfg.data_files.mem_img_path = os.path.join(str(cfg.data_files.img_dir), info["mem_img_name"])
+        if not cfg.get("validation_prompts"):
+            prompts = []
+            for p in (cfg.get("og_prompts_path"), cfg.get("modified_prompts_path")):
+                if p and os.path.exists(str(p)):
+                    with open(str(p)) as f:
+                        data = json.load(f)
+                    name = str(cfg.images_name)
+                    if name in data:
+                        prompts.append(data[name])
+            cfg.validation_prompts = prompts or None
+        first = (cfg.validation_prompts or [None])[0]
+        cfg.using_augmented_prompt = bool(first and str(first).endswith((".pt", ".npz")))
+
+    def run(self) -> None:
+        cfg = self.cfg
+        self.fill_cfg()
+        tracker = self.make_tracker()
+        mesh = self.make_mesh()
+        key = jax.random.PRNGKey(int(cfg.seed))
+        dtype = self.compute_dtype()
+
+        # ---- datasets
+        from siss_tpu.data import SDData
+
+        all_data = SDData("nondeletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path))
+        memorized_data = SDData("deletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path))
+
+        # ---- models (variant knob lets tests run the full task graph tiny)
+        variant = str(cfg.get("model_variant", "sd_v1"))
+        if variant == "tiny":
+            unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
+                                                "gradient_checkpointing": bool(cfg.gradient_checkpointing)})
+            vae_cfg, text_cfg = AutoencoderKLConfig.tiny(), CLIPTextConfig.tiny()
+        else:
+            unet_cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=bool(cfg.gradient_checkpointing))
+            vae_cfg, text_cfg = AutoencoderKLConfig.sd_v1(), CLIPTextConfig.sd_v1()
+        unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        text = CLIPTextModel(text_cfg, dtype=dtype)
+
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        model_dir = str(cfg.pretrained_model_name_or_path)
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            def load(sub, template):
+                path = os.path.abspath(os.path.join(model_dir, sub))
+                if os.path.exists(path):
+                    return ckptr.restore(path, template)
+                print(f"[delete_sd] WARNING: no converted weights at {path}; using random init")
+                return template
+
+            unet_params = load("unet", unet.init_params(k1))
+            vae_params = load("vae", vae.init_params(k2, image_size=64))
+            text_params = load("text_encoder", text.init_params(k3))
+        unet_params = shard_params_fsdp(unet_params, mesh)
+
+        schedule = sd_noise_schedule()
+
+        def eps_apply(p, x, t, cond):
+            return unet.apply({"params": p}, x, t, cond)
+
+        def vae_encode(imgs, k):
+            return vae.apply({"params": vae_params}, imgs, k, method=vae.encode_sample)
+
+        def vae_decode(p, z):
+            return vae.apply({"params": p}, z, method=vae.decode)
+
+        tokenizer = load_clip_tokenizer()
+        vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        pipeline = StableDiffusionPipeline(
+            unet_apply=eps_apply, unet_params=unet_params,
+            vae_decode=vae_decode, vae_params=vae_params,
+            text_apply=lambda p, ids: text.apply({"params": p}, ids),
+            text_params=text_params, tokenizer=tokenizer, schedule=schedule,
+            latent_channels=vae_cfg.latent_channels, vae_scale_factor=vae_scale_factor,
+        )
+
+        # ---- prompt embeddings (precomputed once; reference re-encodes the
+        # constant prompt every step, ``:937-944``)
+        embeds_dim = text_cfg.hidden_size
+        prompts = list(cfg.get("validation_prompts") or [])
+        prompt_embeds = []
+        for p in prompts:
+            if str(p).endswith((".pt", ".npz")):
+                prompt_embeds.append(StableDiffusionPipeline.load_prompt_embeds(str(p)))
+            elif tokenizer is not None:
+                prompt_embeds.append(pipeline.encode_prompt(str(p)))
+        if prompt_embeds:
+            train_cond = jnp.asarray(prompt_embeds[0]).reshape(1, -1, embeds_dim)
+        else:
+            print("[delete_sd] WARNING: no prompts/tokenizer; using zero conditioning")
+            train_cond = jnp.zeros((1, text_cfg.max_position_embeddings, embeds_dim))
+        if tokenizer is not None:
+            uncond = pipeline.encode_prompt("")
+        else:
+            uncond = jnp.zeros_like(train_cond)
+
+        # ---- fused step over latents; VAE encode folded into the same jit
+        training_steps = int(cfg.training_steps)
+        bs = int(cfg.train_batch_size)
+        accum = int(cfg.gradient_accumulation_steps)
+        opt_cfg = Config({
+            "_target_": "torch.optim.AdamW", "lr": float(cfg.learning_rate),
+            "betas": [float(cfg.adam_beta1), float(cfg.adam_beta2)],
+            "weight_decay": float(cfg.adam_weight_decay), "eps": float(cfg.adam_epsilon),
+        })
+        from siss_tpu.train.optim import build_optimizer
+
+        tx = build_optimizer(opt_cfg, str(cfg.lr_scheduler), int(cfg.lr_warmup_steps), training_steps)
+        step_cfg = DeletionStepConfig(
+            loss_fn=str(cfg.deletion.loss_fn),
+            loss_params=tuple(sorted(to_dict(cfg.deletion.get("loss_params") or {}).items())),
+            scaling_norm=float(cfg.deletion.get("scaling_norm", 1.0)),
+            eta=float(cfg.deletion.get("eta", 1e-2)),
+            grad_accum_steps=accum,
+            t_min=int(cfg.deletion.get("t_min", 999)),
+            t_max=int(cfg.deletion.get("t_max", 1000)),
+            max_grad_norm=float(cfg.max_grad_norm),
+            use_ema=bool(cfg.use_ema),
+            noise_offset=float(cfg.get("noise_offset") or 0.0),
+            input_perturbation=float(cfg.get("input_perturbation") or 0.0),
+        )
+        latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
+
+        @jax.jit
+        def sd_step(state, images, key, dyn):
+            k_enc_a, k_enc_d, k_step = jax.random.split(key, 3)
+            A, mb = images["all"].shape[:2]
+
+            def enc(imgs, k):
+                flat = imgs.reshape(A * mb, *imgs.shape[2:])
+                z = vae_encode(flat, k)
+                return z.reshape(A, mb, *z.shape[1:])
+
+            cond = jnp.broadcast_to(train_cond, (mb, *train_cond.shape[-2:]))
+            cond = jnp.broadcast_to(cond[None], (A, mb, *train_cond.shape[-2:]))
+            batch = {
+                "all": enc(images["all"], k_enc_a),
+                "deletion": enc(images["deletion"], k_enc_d),
+                "conditioning": cond,
+            }
+            return latent_step(state, batch, k_step, dyn)
+
+        state = TrainState.create(unet_params, tx, use_ema=step_cfg.use_ema)
+
+        # ---- data streams: keep infinite; memorized repeated constant
+        def strip_label(ds):
+            class _Imgs:
+                def __len__(self_inner):
+                    return len(ds)
+
+                def __getitem__(self_inner, i):
+                    return ds[i][0]
+
+            return _Imgs()
+
+        keep_imgs, mem_imgs = strip_label(all_data), strip_label(memorized_data)
+        keep_it = iter(BatchLoader(keep_imgs, InfiniteSampler(len(keep_imgs), seed=int(cfg.seed)), bs))
+        forget_it = iter(BatchLoader(mem_imgs, RepeatedSampler(len(mem_imgs), training_steps * accum * bs), bs))
+        sharding = microbatched_sharding(mesh)
+
+        # ---- validation metrics (gated like the reference's toggles)
+        metrics_cfg = cfg.get("metrics") or {}
+        mem_classifier = None
+        if metrics_cfg.get("fraction_deletion"):
+            from siss_tpu.metrics.kmeans_mem import KMeansMemClassifier
+
+            mem_classifier = KMeansMemClassifier.load(str(metrics_cfg.fraction_deletion.classifier_path))
+        sscd = None
+        if metrics_cfg.get("sscd"):
+            from siss_tpu.metrics.sscd import SSCDEvaluator
+
+            sscd = SSCDEvaluator.load(str(metrics_cfg.sscd.model_path))
+        clip_iqa = None
+        if metrics_cfg.get("clip_iqa"):
+            from siss_tpu.metrics.clip_iqa import CLIPIQA
+
+            clip_iqa = CLIPIQA.try_load()
+
+        mem_img = None
+        if cfg.data_files.get("mem_img_path") and os.path.exists(str(cfg.data_files.mem_img_path)):
+            from PIL import Image
+
+            mem_img = np.asarray(Image.open(str(cfg.data_files.mem_img_path)), np.float32) / 255.0
+
+        def log_validation(step, img_count):
+            eval_params = state.ema.params if state.ema is not None else state.params
+            logs = {}
+            for pi, pe in enumerate(prompt_embeds):
+                pe = jnp.asarray(pe).reshape(1, -1, embeds_dim)
+                imgs_list, norm_curves = [], []
+                for b in range(int(cfg.eval_batches)):
+                    imgs, norms = pipeline(
+                        pe, uncond.reshape(1, -1, embeds_dim),
+                        jax.random.PRNGKey(int(cfg.seed) + b),
+                        height=int(cfg.resolution), width=int(cfg.resolution),
+                        guidance_scale=float(cfg.get("guidance_scale", 7.5)),
+                        track_noise_norm=bool(metrics_cfg.get("noise_norm")),
+                        params=eval_params,
+                    )
+                    imgs_list.append(imgs)
+                    if norms is not None:
+                        norm_curves.append(norms)
+                imgs = np.concatenate(imgs_list)
+                tracker.log_images(f"Generated Images (prompt {pi})", imgs[:8], step=img_count)
+                if norm_curves and pi == 0:
+                    uncond_curve = np.mean([n["uncond_norm"] for n in norm_curves], axis=(0, 2))
+                    text_curve = np.mean([n["text_norm"] for n in norm_curves], axis=(0, 2))
+                    for si in range(len(text_curve)):
+                        logs[f"noise_norms/uncond_step{si}"] = float(uncond_curve[si])
+                        logs[f"noise_norms/text_step{si}"] = float(text_curve[si])
+                if mem_classifier is not None:
+                    logs[f"metrics/deletion_fraction_{pi}"] = mem_classifier.fraction(imgs)
+                if sscd is not None and mem_img is not None:
+                    logs[f"metrics/sscd_{pi}"] = sscd.max_similarity(imgs, mem_img)
+                if clip_iqa is not None:
+                    logs[f"metrics/clip_iqa_{pi}"] = clip_iqa.score(imgs)
+            tracker.log(logs, step=img_count)
+
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+        global_step, img_count = 0, 0
+        if cfg.get("resume_from_checkpoint"):
+            path = "latest" if str(cfg.resume_from_checkpoint) == "latest" else str(cfg.resume_from_checkpoint)
+            state = ckpt.restore_item(path, "state", state)
+            global_step = int(state.step)
+            img_count = global_step * bs * accum
+
+        superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
+        decay = cfg.deletion.get("superfactor_decay")
+        t_last = time.time()
+        while global_step < training_steps:
+            images = {
+                "all": np.stack([next(keep_it) for _ in range(accum)]),
+                "deletion": np.stack([next(forget_it) for _ in range(accum)]),
+            }
+            batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), images)
+            key, step_key = jax.random.split(key)
+            dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}
+            state, metrics = sd_step(state, batch, step_key, dyn)
+            global_step += 1
+            img_count += bs * accum
+            if superfactor is not None and decay:
+                superfactor = float(superfactor) * float(decay)  # ``:1190-1197``
+                metrics["superfactor"] = superfactor
+            dt = time.time() - t_last
+            t_last = time.time()
+            metrics["images_per_sec"] = bs * accum / dt
+            # step key = image count (reference ``delete_sd.py:1022``)
+            tracker.log(metrics, step=img_count)
+            log_validation(global_step, img_count)
+            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+                ckpt.save_bundle(global_step, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
+
+        ckpt.save_bundle(training_steps, {
+            "state": state, "unet": state.params,
+            "unet_ema": state.ema.params if state.ema is not None else None,
+        })
+        tracker.finish()

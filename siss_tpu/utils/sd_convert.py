@@ -1,0 +1,158 @@
+"""Stable-Diffusion component weight converters (torch → flax).
+
+Extends the generic mapper in ``hf_convert`` with the key-rewrite rules of
+the three SD models the reference loads (``delete_sd.py:411-468``):
+``UNet2DConditionModel`` (Transformer2D naming incl. GEGLU feed-forward and
+conv-or-linear proj_in/out), ``AutoencoderKL`` (encoder/decoder prefixes,
+quant convs), and HF ``CLIPTextModel`` (text_model.* prefixes).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List
+
+import numpy as np
+
+from siss_tpu.utils.hf_convert import _MID_RE, _TOP_RE
+
+
+def _expand_block_names(parts: List[str]) -> List[str]:
+    out = []
+    for p in parts:
+        m = _TOP_RE.match(p)
+        if m:
+            out += [m.group(1), m.group(2), m.group(3), m.group(4)]
+            continue
+        m = _MID_RE.match(p)
+        if m:
+            out += ["mid_block", m.group(1), m.group(2)]
+            continue
+        m = re.match(r"^(down|up)_blocks_(\d+)_downsamplers_0_conv$", p)
+        if m:
+            out += [f"{m.group(1)}_blocks", m.group(2), "downsamplers", "0", "conv"]
+            continue
+        m = re.match(r"^transformer_blocks_(\d+)$", p)
+        if m:
+            out += ["transformer_blocks", m.group(1)]
+            continue
+        m = re.match(r"^layers_(\d+)$", p)
+        if m:
+            out += ["layers", m.group(1)]
+            continue
+        out.append(p)
+    return out
+
+
+_SUFFIX = {"kernel": "weight", "scale": "weight", "bias": "bias", "embedding": "weight"}
+
+
+def _fix_ff(names) -> List[str]:
+    """ff/geglu_proj → ff.net.0.proj ; ff/out_proj → ff.net.2"""
+    parts = [str(n) for n in names]
+    for i, p in enumerate(parts):
+        if p == "ff":
+            nxt = parts[i + 1] if i + 1 < len(parts) else ""
+            if nxt == "geglu_proj":
+                return parts[:i] + ["ff", "net", "0", "proj"] + parts[i + 2:]
+            if nxt == "out_proj":
+                return parts[:i] + ["ff", "net", "2"] + parts[i + 2:]
+    return parts
+
+
+def _transform(t: np.ndarray, leaf_shape, param_name: str) -> np.ndarray:
+    t = np.asarray(t)
+    if param_name == "kernel":
+        if t.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)
+        elif t.ndim == 2:
+            t = t.transpose(1, 0)
+            if len(leaf_shape) == 4:   # linear weights into a 1×1 conv slot
+                t = t.reshape(1, 1, *t.shape)
+    elif param_name == "bias" and len(leaf_shape) == 1 and t.ndim == 1:
+        pass
+    if param_name == "kernel" and t.ndim == 2 and len(leaf_shape) == 2:
+        pass
+    if tuple(t.shape) != tuple(leaf_shape):
+        # conv weights into a linear slot (old 1×1-conv proj_in checkpoints)
+        if t.ndim == 4 and len(leaf_shape) == 2 and t.shape[0] == 1 and t.shape[1] == 1:
+            t = t.reshape(t.shape[2], t.shape[3])
+        if tuple(t.shape) != tuple(leaf_shape):
+            raise ValueError(f"shape mismatch: torch {t.shape} vs flax {tuple(leaf_shape)}")
+    return t
+
+
+def _convert(sd: Dict[str, np.ndarray], template: Any, candidates_fn) -> Any:
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    tree: Dict[str, Any] = {}
+    for path, leaf in flat:
+        names = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        cands = candidates_fn(names)
+        for key in cands:
+            if key in sd:
+                arr = _transform(sd[key], leaf.shape, str(names[-1]))
+                cur = tree
+                for n in names[:-1]:
+                    cur = cur.setdefault(n, {})
+                cur[names[-1]] = arr
+                break
+        else:
+            raise KeyError(f"No torch weight for {'/'.join(map(str, names))}; tried {cands}")
+    return tree
+
+
+def convert_sd_unet(sd: Dict[str, np.ndarray], template: Any) -> Any:
+    def cands(names):
+        fixed = _fix_ff(names)
+        parts = _expand_block_names(fixed[:-1])
+        suffix = _SUFFIX[str(names[-1])]
+        out = []
+        if parts and parts[-1] == "to_out":
+            out.append(".".join(parts + ["0", suffix]))
+        out.append(".".join(parts + [suffix]))
+        return out
+
+    return _convert(sd, template, cands)
+
+
+def convert_vae(sd: Dict[str, np.ndarray], template: Any) -> Any:
+    def cands(names):
+        parts = _expand_block_names([str(n) for n in names[:-1]])
+        suffix = _SUFFIX[str(names[-1])]
+        out = []
+        if parts and parts[-1] == "to_out":
+            out.append(".".join(parts + ["0", suffix]))
+            out.append(".".join(parts[:-1] + ["proj_attn", suffix]))
+        elif parts and parts[-1] in ("to_q", "to_k", "to_v"):
+            old = {"to_q": "query", "to_k": "key", "to_v": "value"}[parts[-1]]
+            out.append(".".join(parts + [suffix]))
+            out.append(".".join(parts[:-1] + [old, suffix]))
+        else:
+            out.append(".".join(parts + [suffix]))
+        return out
+
+    return _convert(sd, template, cands)
+
+
+def convert_clip_text(sd: Dict[str, np.ndarray], template: Any) -> Any:
+    def cands(names):
+        parts = _expand_block_names([str(n) for n in names[:-1]])
+        suffix = _SUFFIX[str(names[-1])]
+        parts = [{"mlp_fc1": "mlp.fc1", "mlp_fc2": "mlp.fc2"}.get(p, p) for p in parts]
+        flatparts = []
+        for p in parts:
+            flatparts += p.split(".")
+        key = ".".join(flatparts + [suffix])
+        prefixed = []
+        if flatparts and flatparts[0] in ("token_embedding", "position_embedding"):
+            prefixed.append("text_model.embeddings." + key)
+        elif flatparts and flatparts[0] == "layers":
+            prefixed.append("text_model.encoder." + key)
+        elif flatparts and flatparts[0] == "final_layer_norm":
+            prefixed.append("text_model." + key)
+        prefixed.append(key)
+        return prefixed
+
+    return _convert(sd, template, cands)
