@@ -67,7 +67,7 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--accum", type=int, default=4)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--remat", action="store_true")
@@ -87,6 +87,9 @@ def main():
     try:
         cost = compiled.cost_analysis()
         step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        # XLA cost analysis counts a lax.scan body ONCE; the accumulation
+        # scan over microbatches dominates the step, so scale by trip count.
+        step_flops *= args.accum
     except Exception:
         step_flops = 0.0
     state, _ = compiled(state, batch, key, {})

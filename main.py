@@ -18,22 +18,22 @@ import uuid
 from siss_tpu.config import get_object, load_config
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--config-name", required=True, dest="config_name")
-    parser.add_argument("--config-dir", default=os.path.join(os.path.dirname(__file__), "configs"))
-    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
-    parser.add_argument("--platform", default=os.environ.get("SISS_PLATFORM"),
-                        help="force a jax platform (e.g. cpu); overrides any "
-                             "sitecustomize plugin selection")
-    args = parser.parse_args(argv)
+def _expand_multirun(overrides):
+    """Cartesian product of comma-valued overrides (the reference's forked
+    hydra-sweep role, ``environment.yml:291``)."""
+    import itertools
 
-    if args.platform:
-        import jax
+    axes = []
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        values = raw.split(",") if "," in raw and not raw.startswith("[") else [raw]
+        axes.append([(key, v) for v in values])
+    for combo in itertools.product(*axes):
+        yield [f"{k}={v}" for k, v in combo]
 
-        jax.config.update("jax_platforms", args.platform)
 
-    cfg = load_config(args.config_name, args.overrides, args.config_dir)
+def _run_one(config_name, overrides, config_dir, profile=False):
+    cfg = load_config(config_name, overrides, config_dir)
 
     # Timestamp+uuid the output dir unless resuming (``main.py:20-27``).
     if not cfg.get("resume_from_checkpoint"):
@@ -45,7 +45,42 @@ def main(argv=None):
     task_cls = get_object(str(cfg.task._target_))
     task = task_cls(cfg)
     print(f"[siss_tpu] task={task_cls.__name__} output_dir={cfg.output_dir}")
-    task.run()
+    if profile:
+        import jax
+
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        with jax.profiler.trace(os.path.join(str(cfg.output_dir), "profile")):
+            task.run()
+    else:
+        task.run()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config-name", required=True, dest="config_name")
+    parser.add_argument("--config-dir", default=os.path.join(os.path.dirname(__file__), "configs"))
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    parser.add_argument("--platform", default=os.environ.get("SISS_PLATFORM"),
+                        help="force a jax platform (e.g. cpu); overrides any "
+                             "sitecustomize plugin selection")
+    parser.add_argument("--multirun", "-m", action="store_true",
+                        help="sweep: comma-separated override values expand to "
+                             "a cartesian product of runs")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace under output_dir/profile")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.multirun:
+        for i, ovs in enumerate(_expand_multirun(args.overrides)):
+            print(f"[siss_tpu] multirun job {i}: {ovs}")
+            _run_one(args.config_name, ovs, args.config_dir, args.profile)
+    else:
+        _run_one(args.config_name, args.overrides, args.config_dir, args.profile)
 
 
 if __name__ == "__main__":

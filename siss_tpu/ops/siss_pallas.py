@@ -1,0 +1,232 @@
+"""Fused Pallas kernel for the SISS mixture-loss epilogue.
+
+The SISS objective needs, per sample: squared distances of the mixture
+latent to both clean latents (for the importance weights) and the two
+weighted ε-MSE terms (``losses/ddpm_deletion_loss.py:26-56``). Done naively
+this reads the four big tensors (preds, mixture, keep-clean, forget-clean)
+several times and materializes five more image-sized temporaries. This
+kernel computes ALL per-sample reductions in ONE pass over HBM:
+
+    dist_x[b] = Σ (mix − γ·x_og)²          (pre-division by 2σ²)
+    dist_a[b] = Σ (mix − γ·a_og)²
+    lx[b]     = Σ (preds − (mix − γ·x_og)/σ)²
+    la[b]     = Σ (preds − (mix − γ·a_og)/σ)²
+
+The [B]-sized importance-weight math stays in jnp (it's tiny), and a
+custom VJP recomputes ε on the fly in a single backward kernel producing
+∂(wlx_sum, wla_sum)/∂preds — so neither ε tensors nor weighted-loss
+tensors ever hit HBM. Parity with the reference formulas is enforced
+against the pure-jnp implementation in tests (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Pixel-tile width: multiple of the f32 (8, 128) VPU tile.
+_TILE = 8 * 128 * 4
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels run interpreted on CPU (tests / virtual meshes).
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to_tile(x2d):
+    B, P = x2d.shape
+    pad = (-P) % _TILE
+    if pad:
+        x2d = jnp.pad(x2d, ((0, 0), (0, pad)))
+    return x2d, P + pad
+
+
+def _reduce_kernel(preds_ref, mix_ref, xog_ref, aog_ref, gamma_ref, inv_sigma_ref,
+                   dist_x_ref, dist_a_ref, lx_ref, la_ref):
+    t = pl.program_id(1)
+    g = gamma_ref[...]          # [8, 1]
+    inv_s = inv_sigma_ref[...]  # [8, 1]
+
+    mix = mix_ref[...]          # [8, TILE]
+    preds = preds_ref[...]
+    resid_x = mix - g * xog_ref[...]
+    resid_a = mix - g * aog_ref[...]
+    ex = preds - resid_x * inv_s
+    ea = preds - resid_a * inv_s
+
+    @pl.when(t == 0)
+    def _():
+        dist_x_ref[...] = jnp.zeros_like(dist_x_ref)
+        dist_a_ref[...] = jnp.zeros_like(dist_a_ref)
+        lx_ref[...] = jnp.zeros_like(lx_ref)
+        la_ref[...] = jnp.zeros_like(la_ref)
+
+    dist_x_ref[...] += jnp.sum(resid_x * resid_x, axis=1, keepdims=True)
+    dist_a_ref[...] += jnp.sum(resid_a * resid_a, axis=1, keepdims=True)
+    lx_ref[...] += jnp.sum(ex * ex, axis=1, keepdims=True)
+    la_ref[...] += jnp.sum(ea * ea, axis=1, keepdims=True)
+
+
+def _pad_rows(x2d, rows):
+    pad = rows - x2d.shape[0]
+    return jnp.pad(x2d, ((0, pad), (0, 0))) if pad else x2d
+
+
+def _siss_reduce(preds, mix, x_og, a_og, gamma, sigma):
+    """One fused pass -> per-sample (dist_x_raw, dist_a_raw, lx_sum, la_sum).
+
+    Inputs flattened [B, P] float32 (P a multiple of _TILE); gamma/sigma [B].
+    The batch is padded to a multiple of 8 rows (TPU sublane tile); padded
+    rows use sigma=1 to avoid inf and are sliced away.
+    """
+    B, P = preds.shape
+    B_pad = -(-B // 8) * 8
+    n_tiles = P // _TILE
+
+    preds, mix, x_og, a_og = (_pad_rows(t, B_pad) for t in (preds, mix, x_og, a_og))
+    gamma2 = _pad_rows(gamma.reshape(B, 1).astype(jnp.float32), B_pad)
+    inv_sigma2 = _pad_rows((1.0 / sigma).reshape(B, 1).astype(jnp.float32), B_pad)
+
+    spec = pl.BlockSpec((8, _TILE), lambda b, t: (b, t), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((8, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B_pad, 1), jnp.float32)
+
+    outs = pl.pallas_call(
+        _reduce_kernel,
+        grid=(B_pad // 8, n_tiles),
+        in_specs=[spec, spec, spec, spec, scalar_spec, scalar_spec],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=_interpret(),
+    )(preds, mix, x_og, a_og, gamma2, inv_sigma2)
+    return tuple(o[:B, 0] for o in outs)
+
+
+def _bwd_kernel(preds_ref, mix_ref, xog_ref, aog_ref, gamma_ref, inv_sigma_ref,
+                cx_ref, ca_ref, gpreds_ref):
+    g = gamma_ref[...]
+    inv_s = inv_sigma_ref[...]
+    cx = cx_ref[...]
+    ca = ca_ref[...]
+    mix = mix_ref[...]
+    preds = preds_ref[...]
+    ex = preds - (mix - g * xog_ref[...]) * inv_s
+    ea = preds - (mix - g * aog_ref[...]) * inv_s
+    gpreds_ref[...] = 2.0 * (cx * ex + ca * ea)
+
+
+def _siss_grad_preds(preds, mix, x_og, a_og, gamma, sigma, cx, ca):
+    B, P = preds.shape
+    B_pad = -(-B // 8) * 8
+    n_tiles = P // _TILE
+    preds, mix, x_og, a_og = (_pad_rows(t, B_pad) for t in (preds, mix, x_og, a_og))
+    gamma2 = _pad_rows(gamma.reshape(B, 1).astype(jnp.float32), B_pad)
+    inv_sigma2 = _pad_rows((1.0 / sigma).reshape(B, 1).astype(jnp.float32), B_pad)
+    cx2 = _pad_rows(cx.reshape(B, 1).astype(jnp.float32), B_pad)
+    ca2 = _pad_rows(ca.reshape(B, 1).astype(jnp.float32), B_pad)
+
+    spec = pl.BlockSpec((8, _TILE), lambda b, t: (b, t), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((8, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B_pad // 8, n_tiles),
+        in_specs=[spec, spec, spec, spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B_pad, P), jnp.float32),
+        interpret=_interpret(),
+    )(preds, mix, x_og, a_og, gamma2, inv_sigma2, cx2, ca2)
+    return out[:B]
+
+
+def _iw_from_dists(dist_x_raw, dist_a_raw, sigma, lambd):
+    """Importance weights from raw squared distances (stable form; see
+    losses/deletion.py)."""
+    denom = 2.0 * sigma.astype(jnp.float32) ** 2
+    d = (dist_x_raw - dist_a_raw) / denom
+    log_l = jnp.log(jnp.asarray(lambd, jnp.float32))
+    log_1ml = jnp.log1p(-jnp.asarray(lambd, jnp.float32))
+    iw_x = jnp.exp(-jnp.logaddexp(log_1ml, log_l + d))
+    iw_a = jnp.exp(-jnp.logaddexp(log_1ml - d, log_l))
+    return iw_x, iw_a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _siss_core(p2, m2, x2, a2, gamma, sigma, lambd, pixels):
+    out, _ = _core_fwd(p2, m2, x2, a2, gamma, sigma, lambd, pixels)
+    return out
+
+
+def _core_fwd(p2, m2, x2, a2, gamma, sigma, lambd, pixels):
+    dist_x_raw, dist_a_raw, lx, la = _siss_reduce(p2, m2, x2, a2, gamma, sigma)
+    iw_x, iw_a = _iw_from_dists(dist_x_raw, dist_a_raw, sigma, lambd)
+    wlx_sum = jnp.sum(iw_x * lx)
+    wla_sum = jnp.sum(iw_a * la)
+    aux = {
+        "iw_x": iw_x, "iw_a": iw_a,
+        "lx_mean": lx / pixels, "la_mean": la / pixels,
+    }
+    return (wlx_sum, wla_sum, aux), (p2, m2, x2, a2, gamma, sigma, iw_x, iw_a)
+
+
+def _core_bwd(lambd, pixels, residuals, cotangents):
+    p2, m2, x2, a2, gamma, sigma, iw_x, iw_a = residuals
+    cot_x, cot_a, _ = cotangents
+    cx = cot_x * iw_x
+    ca = cot_a * iw_a
+    g2 = _siss_grad_preds(p2, m2, x2, a2, gamma, sigma, cx, ca)
+    # Latents/og tensors are training data (no param path) -> zero grads.
+    zeros2 = jnp.zeros_like(p2)
+    return (g2, zeros2, zeros2, zeros2, jnp.zeros_like(gamma), jnp.zeros_like(sigma))
+
+
+_siss_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _flatten(x):
+    return x.reshape(x.shape[0], -1).astype(jnp.float32)
+
+
+def siss_weighted_sums(preds, mix, x_og, a_og, gamma, sigma, lambd):
+    """Fused SISS epilogue.
+
+    Args: image-shaped tensors [B, ...] (f32/bf16), gamma/sigma [B].
+    Returns (wlx_sum, wla_sum, aux) with per-sample iw_x, iw_a, lx_mean,
+    la_mean for the reference logging namespaces. Only ``preds`` carries a
+    gradient (the latents are data, not functions of params).
+    """
+    pixels = int(np.prod(preds.shape[1:]))
+    p2, _ = _pad_to_tile(_flatten(preds))
+    m2, _ = _pad_to_tile(_flatten(mix))
+    x2, _ = _pad_to_tile(_flatten(x_og))
+    a2, _ = _pad_to_tile(_flatten(a_og))
+    # padding contributes (0 - g*0)=0 and (0-0)=0 -> sums unaffected
+    return _siss_core(p2, m2, x2, a2, gamma, sigma, lambd, pixels)
+
+
+def siss_weighted_sums_reference(preds, mix, x_og, a_og, gamma, sigma, lambd):
+    """Pure-jnp reference (same math as losses/deletion.py) for parity
+    tests and non-TPU backends."""
+    f32 = jnp.float32
+    g = gamma.reshape((-1,) + (1,) * (preds.ndim - 1)).astype(f32)
+    s = sigma.reshape((-1,) + (1,) * (preds.ndim - 1)).astype(f32)
+    preds, mix, x_og, a_og = (t.astype(f32) for t in (preds, mix, x_og, a_og))
+    resid_x = mix - g * x_og
+    resid_a = mix - g * a_og
+    ex = preds - resid_x / s
+    ea = preds - resid_a / s
+    axes = tuple(range(1, preds.ndim))
+    dist_x_raw = jnp.sum(resid_x**2, axis=axes)
+    dist_a_raw = jnp.sum(resid_a**2, axis=axes)
+    iw_x, iw_a = _iw_from_dists(dist_x_raw, dist_a_raw, sigma, lambd)
+    lx = jnp.sum(ex**2, axis=axes)
+    la = jnp.sum(ea**2, axis=axes)
+    pixels = int(np.prod(preds.shape[1:]))
+    aux = {"iw_x": iw_x, "iw_a": iw_a, "lx_mean": lx / pixels, "la_mean": la / pixels}
+    return jnp.sum(iw_x * lx), jnp.sum(iw_a * la), aux

@@ -102,6 +102,23 @@ class DeletionStepConfig:
     # SD options (``delete_sd.py:893-904``): offset noise / input perturbation.
     noise_offset: float = 0.0
     input_perturbation: float = 0.0
+    # Fused Pallas epilogue for the SISS mixture loss (one HBM pass for all
+    # per-sample reductions + custom-VJP backward; see ops/siss_pallas.py).
+    fused_siss: bool = True
+
+    def __post_init__(self):
+        from siss_tpu.losses.deletion import LOSS_FUNCTIONS
+
+        if self.loss_fn == "modified_noise_obj":
+            # Dead config path documented in the reference (option listed at
+            # ``config/delete_celeb.yaml:16-17`` with a guard at
+            # ``delete_tshirt.py:532-534``, but no such loss method exists).
+            raise NotImplementedError(
+                "modified_noise_obj is an abandoned variant in the reference "
+                "(config option with no implementation); choose one of "
+                f"{LOSS_FUNCTIONS}")
+        if self.loss_fn not in LOSS_FUNCTIONS:
+            raise ValueError(f"Unknown loss_fn {self.loss_fn!r}; choose one of {LOSS_FUNCTIONS}")
 
     @property
     def is_scalar_path(self) -> bool:
@@ -183,6 +200,45 @@ def build_deletion_train_step(
 
             (_, stats), g = jax.value_and_grad(scalar_loss, has_aux=True)(params)
             return g, None, stats
+
+    elif (cfg.loss_fn == "importance_sampling_with_mixture" and cfg.fused_siss
+          and cfg.noise_offset == 0.0 and cfg.input_perturbation == 0.0):
+        # Fused path: mixture select + shared forward + the Pallas epilogue
+        # computing all per-sample reductions in one HBM pass.
+        from siss_tpu.ops.siss_pallas import siss_weighted_sums
+
+        lambd = float(static_params["lambd"])
+
+        def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            mb = keep.shape[0]
+            k_noise, k_t, k_loss, k_perturb = jax.random.split(key, 4)
+            noise = jax.random.normal(k_noise, keep.shape, dtype=keep.dtype)
+            timesteps = jax.random.randint(k_t, (mb,), cfg.t_min, cfg.t_max)
+            noisy_keep = q_sample(schedule, keep, noise, timesteps)
+            noisy_forget = q_sample(schedule, forget, noise, timesteps)
+            all_mask = jax.random.uniform(k_loss, (mb,)) > lambd
+            mask = all_mask.reshape((mb,) + (1,) * (keep.ndim - 1))
+            mix = jnp.where(mask, noisy_keep, noisy_forget)
+            gamma_t = schedule.gamma[timesteps]
+            sigma_t = schedule.sigma[timesteps]
+
+            def two_terms(p):
+                preds = eps_apply(p, mix, timesteps, cond)
+                wlx, wla, aux = siss_weighted_sums(
+                    preds, mix, keep, forget, gamma_t, sigma_t, lambd)
+                stats = {}
+                stats.update(_tensor_stats(aux["lx_mean"], "loss_x"))
+                stats.update(_tensor_stats(aux["la_mean"], "loss_a"))
+                stats.update(_tensor_stats(aux["iw_x"], "importance_weight_x"))
+                stats.update(_tensor_stats(aux["iw_a"], "importance_weight_a"))
+                return (wlx / mb, wla / mb), stats
+
+            _, pullback, stats = jax.vjp(two_terms, params, has_aux=True)
+            one = jnp.ones((), jnp.float32)
+            zero = jnp.zeros((), jnp.float32)
+            (g_x,) = pullback((one, zero))
+            (g_a,) = pullback((zero, one))
+            return g_x, g_a, stats
 
     elif cfg.is_shared_forward:
 
