@@ -111,6 +111,61 @@ def denoise_from_t(
     return x
 
 
+def sample_dpm_solver_2m(
+    eps_fn: EpsFn,
+    schedule: NoiseSchedule,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    num_inference_steps: int = 15,
+    conditioning: Any = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """DPM-Solver++(2M): second-order multistep ODE solver in the
+    data-prediction parameterisation (Lu et al. 2022). Matches 50-step
+    DDIM quality in ~10-20 model calls — a TPU-native speedup for the
+    reference's 50-step eval loops (sampling every grad step,
+    ``config/delete_celeb.yaml:97,140-141``), not a parity port.
+    """
+    ts, prev = _timestep_grid(schedule, num_inference_steps)
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape, dtype=dtype)
+
+    # λ(t) = log(γ/σ) grid, incl. the final clean point (γ=1, σ→0 clamped)
+    gamma_all = jnp.concatenate([schedule.gamma[ts], jnp.ones((1,))])
+    sigma_all = jnp.clip(jnp.concatenate([schedule.sigma[ts], jnp.zeros((1,))]), 1e-4)
+    lam = jnp.log(gamma_all / sigma_all)
+
+    def x0_of(x, t):
+        eps = eps_fn(x, jnp.broadcast_to(t, (shape[0],)), conditioning)
+        g = schedule.gamma[t]
+        s = schedule.sigma[t]
+        x0 = (x - s * eps) / g
+        if schedule.clip_sample:
+            x0 = jnp.clip(x0, -schedule.clip_sample_range, schedule.clip_sample_range)
+        return x0
+
+    def body(carry, idx):
+        x, x0_prev = carry
+        t = ts[idx]
+        x0 = x0_of(x, t)
+        lam_t, lam_next = lam[idx], lam[idx + 1]
+        h = lam_next - lam_t
+        g_next = gamma_all[idx + 1]
+        s_next = sigma_all[idx + 1]
+        # 2M update: D = (1 + 1/(2r)) x0 − (1/(2r)) x0_prev with r = h_prev/h
+        lam_prev = lam[jnp.maximum(idx - 1, 0)]
+        r = (lam_t - lam_prev) / h
+        # lower_order_final: the last step's h (to the clean point) is huge;
+        # second-order extrapolation there is unstable — drop to 1st order.
+        use_second = (idx > 0) & (idx < len(ts) - 1) & jnp.isfinite(r) & (jnp.abs(r) > 1e-6)
+        d = jnp.where(use_second, (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev, x0)
+        x_next = (s_next / sigma_all[idx]) * x - g_next * jnp.expm1(-h) * d
+        return (x_next, x0), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(len(ts)))
+    return x
+
+
 def sample_ddim_cfg(
     eps_fn: EpsFn,
     schedule: NoiseSchedule,

@@ -1,0 +1,75 @@
+"""Remaining coverage: DPM-Solver++ sampler, EMA schedule, checkpoint
+manager, and the driver's multichip dryrun."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from siss_tpu.diffusion import NoiseSchedule
+from siss_tpu.diffusion.sampling import sample_dpm_solver_2m
+from siss_tpu.train import TrainState
+from siss_tpu.train.ema import EMAState, ema_decay, ema_update
+from siss_tpu.utils import CheckpointManager
+
+
+def test_dpm_solver_matches_gaussian_target():
+    """15-step DPM-Solver++(2M) with the oracle eps must hit the target
+    Gaussian's statistics (what 50-step DDIM achieves)."""
+    mu, std = 0.3, 0.25
+    sched = NoiseSchedule.create(1000, "linear", clip_sample=False)
+
+    def eps_fn(x, t, cond):
+        g = sched.gamma[t].reshape(-1, 1, 1, 1)
+        s = sched.sigma[t].reshape(-1, 1, 1, 1)
+        return (x - g * mu) * s / (g**2 * std**2 + s**2)
+
+    out = sample_dpm_solver_2m(eps_fn, sched, jax.random.PRNGKey(0), (64, 8, 8, 1),
+                               num_inference_steps=15)
+    samples = np.asarray(out)
+    assert np.all(np.isfinite(samples))
+    assert abs(samples.mean() - mu) < 0.05
+    # coarse-grid solvers carry a small dispersion bias from the final
+    # x0-jump at the discrete t=0 (DDIM shares it); 0.1 abs tolerance
+    assert abs(samples.std() - std) < 0.1
+
+
+def test_ema_decay_matches_diffusers_formula():
+    """decay = clip(1 − (1 + step/inv_gamma)^(−power), 0, max_decay)
+    (diffusers EMAModel, the reference's EMA config)."""
+    for step, inv_gamma, power in [(1, 1.0, 0.75), (100, 1.0, 0.75), (10000, 1.0, 0.75)]:
+        expected = min(0.9999, 1 - (1 + step / inv_gamma) ** (-power))
+        got = float(ema_decay(jnp.asarray(step), inv_gamma, power))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_ema_update_direction():
+    state = EMAState.create({"w": jnp.asarray(0.0)})
+    state = ema_update(state, {"w": jnp.asarray(1.0)})
+    assert 0.0 < float(state.params["w"]) <= 1.0
+
+
+def test_checkpoint_manager_rotation_and_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), total_limit=2)
+    tx = optax.sgd(0.1)
+    state = TrainState.create({"w": jnp.asarray(1.0)}, tx)
+    for step in [10, 20, 30]:
+        mgr.save_bundle(step, {"state": state, "unet": state.params})
+    cps = mgr.list_checkpoints()
+    assert [s for s, _ in cps] == [20, 30]          # rotation kept last 2
+    assert mgr.latest().endswith("checkpoint-30")   # latest-scan
+
+    restored = mgr.restore_item("latest", "unet", {"w": jnp.asarray(0.0)})
+    np.testing.assert_allclose(float(restored["w"]), 1.0)
+    full = mgr.restore_item("latest", "state", state)
+    assert int(full.step) == 0
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multichip validation must pass on the virtual mesh."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(4)
