@@ -75,6 +75,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from siss_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     if args.multirun:
         for i, ovs in enumerate(_expand_multirun(args.overrides)):
             print(f"[siss_tpu] multirun job {i}: {ovs}")

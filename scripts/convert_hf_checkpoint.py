@@ -68,16 +68,63 @@ def convert_sd(src: str, dst: str):
     print(f"saved SD unet/vae/text_encoder params → {dst}")
 
 
+def convert_clip(src: str, dst: str):
+    """openai/clip-vit-large-patch14 snapshot → vision+text orbax params +
+    CLIP-IQA anchor embeddings ("Good photo."/"Bad photo.")."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from siss_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from siss_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionModel
+    from siss_tpu.utils.hf_convert import load_torch_state_dict
+    from siss_tpu.utils.sd_convert import convert_clip_text, convert_clip_vision
+
+    sd = load_torch_state_dict(src)
+    with ocp.StandardCheckpointer() as ckptr:
+        vision = CLIPVisionModel(CLIPVisionConfig.vit_l14())
+        vparams = convert_clip_vision(sd, vision.init_params(jax.random.PRNGKey(0)))
+        ckptr.save(os.path.abspath(os.path.join(dst, "vision")), vparams)
+
+        text = CLIPTextModel(CLIPTextConfig.sd_v1())
+        tparams = convert_clip_text(sd, text.init_params(jax.random.PRNGKey(1)))
+        ckptr.save(os.path.abspath(os.path.join(dst, "text")), tparams)
+
+    # anchors need text_projection + tokenizer
+    try:
+        import jax.numpy as jnp
+        from transformers import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained(src, local_files_only=True)
+        proj = np.asarray(sd["text_projection.weight"]).T  # [hidden, proj]
+
+        def embed(prompt):
+            ids = tok(prompt, padding="max_length", max_length=77,
+                      truncation=True, return_tensors="np").input_ids
+            h = text.apply({"params": tparams}, jnp.asarray(ids))
+            eot = int(np.asarray(ids[0]).argmax())  # EOT has the highest id
+            return np.asarray(h[0, eot]) @ proj
+
+        np.savez(os.path.join(dst, "iqa_anchors.npz"),
+                 good=embed("Good photo."), bad=embed("Bad photo."))
+        print("wrote CLIP-IQA anchors")
+    except Exception as e:
+        print(f"anchors skipped ({e}); CLIP-IQA needs tokenizer+text_projection")
+    print(f"saved CLIP vision/text params → {dst}")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["celeb", "sd"], required=True)
+    p.add_argument("--model", choices=["celeb", "sd", "clip"], required=True)
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
     args = p.parse_args()
     if args.model == "celeb":
         convert_celeb(args.src, args.dst)
-    else:
+    elif args.model == "sd":
         convert_sd(args.src, args.dst)
+    else:
+        convert_clip(args.src, args.dst)
 
 
 if __name__ == "__main__":

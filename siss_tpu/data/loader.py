@@ -16,8 +16,19 @@ from typing import Any, Callable, Iterator, Optional
 import numpy as np
 
 
+try:  # native C++ batch assembly (csrc/batcher.cpp); numpy fallback below
+    from siss_tpu import _siss_batcher
+except ImportError:  # pragma: no cover - environment without the extension
+    _siss_batcher = None
+
+
 class BatchLoader:
-    """dataset + index-sampler → infinite iterator of stacked batches."""
+    """dataset + index-sampler → infinite iterator of stacked batches.
+
+    When the dataset is backed by an in-memory uint8 array (ArrayDataset
+    with ``normalize=True``) and the native extension is built, batches are
+    assembled by the multi-threaded C++ path (gather + [-1,1] float32
+    conversion, GIL released)."""
 
     def __init__(self, dataset, sampler, batch_size: int, prefetch: int = 2,
                  collate: Optional[Callable] = None, drop_last: bool = True):
@@ -27,17 +38,36 @@ class BatchLoader:
         self.collate = collate or _default_collate
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self._native_images = None
+        if (
+            _siss_batcher is not None
+            and collate is None
+            and getattr(dataset, "normalize", False)
+            and getattr(dataset, "images", None) is not None
+            and isinstance(dataset.images, np.ndarray)
+            and dataset.images.dtype == np.uint8
+            and dataset.images.ndim == 4
+            and dataset.images.flags["C_CONTIGUOUS"]
+        ):
+            self._native_images = dataset.images
 
     def _batches(self) -> Iterator[Any]:
         buf = []
         for idx in self.sampler:
-            buf.append(self.dataset[idx])
+            buf.append(idx if self._native_images is not None else self.dataset[idx])
             if len(buf) == self.batch_size:
-                yield self.collate(buf)
+                if self._native_images is not None:
+                    yield _siss_batcher.assemble(
+                        self._native_images, np.asarray(buf, np.int64), True)
+                else:
+                    yield self.collate(buf)
                 buf = []
         # finite sampler tail (RepeatedSampler is finite)
         if buf and not self.drop_last:
-            yield self.collate(buf)
+            if self._native_images is not None:
+                yield _siss_batcher.assemble(self._native_images, np.asarray(buf, np.int64), True)
+            else:
+                yield self.collate(buf)
 
     def __iter__(self) -> Iterator[Any]:
         if self.prefetch <= 0:

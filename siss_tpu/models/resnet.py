@@ -84,6 +84,69 @@ def cifar_resnet(depth: int = 20, num_classes: int = 10, **kw) -> ResNet:
     return ResNet(stage_sizes=(n, n, n), num_classes=num_classes, num_filters=16, **kw)
 
 
+def load_torch_resnet(path_or_state: "str | dict", model: ResNet):
+    """Import a torchvision-naming ResNet state dict (the reference's
+    ``checkpoints/classifiers/mnist.pt``, arch ``metrics/mnist_resnet.py``:
+    7×7 stem + maxpool → use ``small_input=False``) into flax variables.
+
+    Returns ``{"params": ..., "batch_stats": ...}`` for ``model.apply``.
+    """
+    import re
+
+    import numpy as np
+
+    if isinstance(path_or_state, str):
+        from siss_tpu.utils.hf_convert import load_torch_state_dict
+
+        sd = load_torch_state_dict(path_or_state)
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_state.items()}
+
+    def torch_key(names, suffix):
+        mods = []
+        for p in names:
+            m = re.match(r"^stage(\d+)_block(\d+)$", p)
+            if m:
+                mods.append(f"layer{int(m.group(1)) + 1}.{m.group(2)}")
+            elif p == "conv_stem":
+                mods.append("conv1")
+            elif p == "bn_stem":
+                mods.append("bn1")
+            elif p == "downsample_conv":
+                mods.append("downsample.0")
+            elif p == "downsample_bn":
+                mods.append("downsample.1")
+            else:
+                mods.append(p)
+        return ".".join(mods) + "." + suffix
+
+    import jax
+
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 28, 28, 1 if model.grayscale else 3)))
+    out = {"params": {}, "batch_stats": {}}
+
+    def put(col, names, arr):
+        cur = out[col]
+        for n in names[:-1]:
+            cur = cur.setdefault(n, {})
+        cur[names[-1]] = jnp.asarray(arr)
+
+    suffix_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                  "mean": "running_mean", "var": "running_var"}
+    for col in ("params", "batch_stats"):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(template[col])[0]:
+            names = tuple(p.key for p in path)
+            key = torch_key(names[:-1], suffix_map[str(names[-1])])
+            t = np.asarray(sd[key])
+            if names[-1] == "kernel":
+                t = t.transpose(2, 3, 1, 0) if t.ndim == 4 else t.transpose(1, 0)
+            if tuple(t.shape) != tuple(leaf.shape):
+                raise ValueError(f"{key}: torch {t.shape} vs flax {leaf.shape}")
+            put(col, names, t)
+    return out
+
+
 def make_classifier_apply(model: ResNet, variables) -> Tuple[Callable, dict]:
     """Returns (apply_fn(params, imgs) -> logits, params) for the metrics
     ``Classifier`` wrapper; folds batch stats in for eval."""

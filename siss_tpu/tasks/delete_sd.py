@@ -262,7 +262,13 @@ class DeleteSD(Task):
                         logs[f"noise_norms/uncond_step{si}"] = float(uncond_curve[si])
                         logs[f"noise_norms/text_step{si}"] = float(text_curve[si])
                 if mem_classifier is not None:
-                    logs[f"metrics/deletion_fraction_{pi}"] = mem_classifier.fraction(imgs)
+                    frac = mem_classifier.fraction(imgs)
+                    logs[f"metrics/deletion_fraction_{pi}"] = frac
+                    # per-prompt steps-to-deletion summary, in gradient steps
+                    # (reference ``delete_sd.py:273-275``)
+                    key_name = f"deletion_steps_{pi}"
+                    if frac == 0.0 and key_name not in tracker.summary:
+                        tracker.log_summary(key_name, img_count / (bs * accum))
                 if sscd is not None and mem_img is not None:
                     logs[f"metrics/sscd_{pi}"] = sscd.max_similarity(imgs, mem_img)
                 if clip_iqa is not None:

@@ -123,15 +123,24 @@ class DeleteTShirt(Task):
             clf_cfg = cfg.metrics.classifier_cfg
             arch_fn = get_object(str(clf_cfg.classifier_arch))
             clf_model = arch_fn(**to_dict(clf_cfg.get("classifier_args") or {}))
-            # classifier checkpoint is optional in offline envs
+            # classifier checkpoint: torch .pt (reference artifact) or orbax;
+            # optional in offline envs
             try:
                 from siss_tpu.metrics import Classifier
-                clf_params = CheckpointManager(os.path.dirname(str(clf_cfg.classifier_ckpt))).restore(
-                    str(clf_cfg.classifier_ckpt), clf_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1))))
+
+                ckpt_path = str(clf_cfg.classifier_ckpt)
+                if ckpt_path.endswith((".pt", ".pth", ".bin")):
+                    from siss_tpu.models.resnet import load_torch_resnet
+
+                    clf_params = load_torch_resnet(ckpt_path, clf_model)
+                else:
+                    clf_params = CheckpointManager(os.path.dirname(ckpt_path)).restore(
+                        ckpt_path, clf_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1))))
                 inception = InceptionScore(
                     Classifier(lambda p, x: clf_model.apply(p, x, train=False), clf_params),
                     remove_class=int(cfg.deletion.class_label))
-            except Exception:
+            except Exception as e:
+                print(f"[delete_tshirt] inception classifier unavailable ({e}); IS disabled")
                 inception = None
 
         deletion_steps_logged = False

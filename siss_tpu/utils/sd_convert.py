@@ -136,6 +136,33 @@ def convert_vae(sd: Dict[str, np.ndarray], template: Any) -> Any:
     return _convert(sd, template, cands)
 
 
+def convert_clip_vision(sd: Dict[str, np.ndarray], template: Any) -> Any:
+    """HF CLIPVisionModel(+visual_projection) → flax CLIPVisionModel.
+    Handles HF's ``pre_layrnorm`` spelling and the class embedding."""
+
+    def cands(names):
+        parts = _expand_block_names([str(n) for n in names[:-1]])
+        if names[-1] == "class_embedding":
+            return ["vision_model.embeddings.class_embedding", "class_embedding"]
+        suffix = _SUFFIX[str(names[-1])]
+        parts = [{"mlp_fc1": "mlp.fc1", "mlp_fc2": "mlp.fc2"}.get(p, p) for p in parts]
+        flat = []
+        for p in parts:
+            flat += p.split(".")
+        key = ".".join(flat + [suffix])
+        prefixed = []
+        if flat and flat[0] in ("patch_embedding", "position_embedding"):
+            prefixed.append("vision_model.embeddings." + key)
+        elif flat and flat[0] == "layers":
+            prefixed.append("vision_model.encoder." + key)
+        elif flat and flat[0] in ("pre_layrnorm", "post_layernorm"):
+            prefixed.append("vision_model." + key)
+        prefixed.append(key)  # visual_projection lives at top level
+        return prefixed
+
+    return _convert(sd, template, cands)
+
+
 def convert_clip_text(sd: Dict[str, np.ndarray], template: Any) -> Any:
     def cands(names):
         parts = _expand_block_names([str(n) for n in names[:-1]])
