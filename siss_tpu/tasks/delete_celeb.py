@@ -56,11 +56,15 @@ class DeleteCeleb(Task):
             params = mgr.restore_item("latest" if leaf == "latest" else path,
                                       str(cfg.subfolders.get("unet", "unet") if cfg.get("subfolders") else "unet"),
                                       params)
-        else:
+        elif os.path.exists(path):
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as ckptr:
                 params = ckptr.restore(os.path.abspath(path), params)
+        else:
+            print(f"[delete_celeb] WARNING: no pretrained weights at {path}; "
+                  "using random init (convert google/ddpm-celebahq-256 with "
+                  "scripts/convert_hf_checkpoint.py for real runs)")
         params = shard_params_fsdp(params, mesh)
 
         def eps_apply(p, x, t, cond):
