@@ -129,9 +129,12 @@ class LabeledImageDataset(ArrayDataset):
 
 class SDData:
     """Image dir + JSON label file (kmeans memorized=1/not=0 labels);
-    returns ``(image, label)`` (``sd_dataset.py:8-42``)."""
+    returns ``(image, label)`` (``sd_dataset.py:8-42``). ``resolution``
+    resizes on load (the reference datasets ship pre-sized; this covers
+    mixed-size folders)."""
 
-    def __init__(self, filter: str, img_dir: str, labels_fpath: str, normalize: bool = True):
+    def __init__(self, filter: str, img_dir: str, labels_fpath: str, normalize: bool = True,
+                 resolution: Optional[int] = None):
         with open(labels_fpath, "r") as f:
             labels = json.load(f)
         all_names = list(labels.keys())
@@ -148,6 +151,7 @@ class SDData:
         self.img_names: List[str] = [all_names[i] for i in idx]
         self.img_labels = all_labels[idx]
         self.normalize = normalize
+        self.resolution = resolution
 
     def __len__(self) -> int:
         return len(self.img_names)
@@ -155,7 +159,10 @@ class SDData:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         from PIL import Image
 
-        img = _to_nhwc(np.asarray(Image.open(os.path.join(self.img_dir, self.img_names[idx]))))
+        pil = Image.open(os.path.join(self.img_dir, self.img_names[idx]))
+        if self.resolution and pil.size != (self.resolution, self.resolution):
+            pil = pil.resize((self.resolution, self.resolution), Image.BILINEAR)
+        img = _to_nhwc(np.asarray(pil))
         if self.normalize:
             img = normalize_to_unit_range(img)
         else:

@@ -12,8 +12,6 @@ with zero host synchronisation; sampling loops are built in
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

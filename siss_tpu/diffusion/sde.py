@@ -12,7 +12,6 @@ round-trips host↔device through scipy on every RHS evaluation,
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

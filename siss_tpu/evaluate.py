@@ -15,7 +15,7 @@ seeded for reproducible panels (``set_generator`` semantics).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ torch ``.pt`` state dicts via the converter in ``utils/torch_import``.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

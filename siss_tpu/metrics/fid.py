@@ -13,7 +13,7 @@ mirrors the reference's ``remove_class`` path.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -173,7 +173,7 @@ def make_inception_feature_fn(weights_path: Optional[str] = None,
     .safetensors). When None/missing → RandomEmbedder (FID-rand).
     """
     if weights_path and os.path.exists(weights_path):
-        from siss_tpu.utils.hf_convert import convert_unet2d, load_torch_state_dict
+        from siss_tpu.utils.hf_convert import load_torch_state_dict
 
         model = InceptionV3Features()
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))

@@ -13,8 +13,7 @@ labels = t·(N−1), score = −ε_θ(x, ⌊labels⌋)/σ[⌊labels⌋].
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ MXU-sized chunks; logged as ``membership_loss/{all,deletion,ratio}_t=…``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

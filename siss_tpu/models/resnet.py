@@ -9,7 +9,6 @@ utilities in ``siss_tpu.tasks.train_classifier``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence, Tuple
 
 import jax

@@ -22,7 +22,6 @@ against the pure-jnp implementation in tests (interpret mode on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
 from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
 from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
-from siss_tpu.train.optim import build_lr_schedule
 from siss_tpu.utils import CheckpointManager
 
 
@@ -73,8 +72,9 @@ class DeleteSD(Task):
         # ---- datasets
         from siss_tpu.data import SDData
 
-        all_data = SDData("nondeletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path))
-        memorized_data = SDData("deletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path))
+        res = int(cfg.resolution)
+        all_data = SDData("nondeletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path), resolution=res)
+        memorized_data = SDData("deletion", str(cfg.data_files.img_dir), str(cfg.data_files.labels_path), resolution=res)
 
         # ---- models (variant knob lets tests run the full task graph tiny)
         variant = str(cfg.get("model_variant", "sd_v1"))
@@ -174,10 +174,18 @@ class DeleteSD(Task):
         )
         latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
 
+        random_flip = bool(cfg.get("random_flip"))
+
         @jax.jit
         def sd_step(state, images, key, dyn):
-            k_enc_a, k_enc_d, k_step = jax.random.split(key, 3)
+            k_enc_a, k_enc_d, k_step, k_flip = jax.random.split(key, 4)
             A, mb = images["all"].shape[:2]
+
+            if random_flip:
+                # keyed horizontal flip inside the jitted step
+                # (reference transform random_flip: True, delete_sd.yaml)
+                flip = jax.random.bernoulli(k_flip, 0.5, (A, mb, 1, 1, 1))
+                images = {k: jnp.where(flip, v[:, :, :, ::-1, :], v) for k, v in images.items()}
 
             def enc(imgs, k):
                 flat = imgs.reshape(A * mb, *imgs.shape[2:])

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from siss_tpu.data import BatchLoader, InfiniteSampler
+from siss_tpu.data import InfiniteSampler
 from siss_tpu.models.resnet import resnet18
 from siss_tpu.tasks.base import Task
 from siss_tpu.utils import CheckpointManager

@@ -15,8 +15,6 @@ import re
 import shutil
 from typing import Any, Optional
 
-import jax
-
 
 def _ocp():
     import orbax.checkpoint as ocp
