@@ -18,6 +18,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    import argparse
+
+    argparse.ArgumentParser(description=__doc__).parse_args()
     src = os.path.join(ROOT, "csrc", "batcher.cpp")
     include = sysconfig.get_paths()["include"]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
