@@ -47,14 +47,25 @@ class TrainUnconditional(Task):
         def eps_apply(p, x, t, cond):
             return model.apply({"params": p}, x, t)
 
-        step_fn = jax.jit(build_pretrain_step(
+        base_step = build_pretrain_step(
             eps_apply, schedule, tx,
             prediction_type=str(schedule.prediction_type),
             use_ema=use_ema,
             ema_inv_gamma=float(cfg.ema.ema_inv_gamma),
             ema_power=float(cfg.ema.ema_power),
             ema_max_decay=float(cfg.ema.ema_max_decay),
-        ))
+        )
+        if bool(cfg.get("random_flip")):
+            # keyed in-jit horizontal flip (reference torchvision transform)
+            def step_with_flip(state, batch, key):
+                k_flip, k_step = jax.random.split(key)
+                flip = jax.random.bernoulli(k_flip, 0.5, (batch.shape[0], 1, 1, 1))
+                batch = jnp.where(flip, batch[:, :, ::-1, :], batch)
+                return base_step(state, batch, k_step)
+
+            step_fn = jax.jit(step_with_flip)
+        else:
+            step_fn = jax.jit(base_step)
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
 
