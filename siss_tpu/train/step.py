@@ -146,7 +146,13 @@ def build_deletion_train_step(
     """
     loss_obj = DeletionLoss(gamma=schedule.gamma, sigma=schedule.sigma)
     loss_method = getattr(loss_obj, cfg.loss_fn)
-    static_params = dict(cfg.loss_params)
+    # Keep only the params the chosen loss accepts — lets one config sweep
+    # across loss_fns without editing loss_params (the reference crashes
+    # on mismatched **loss_params).
+    import inspect
+
+    accepted = set(inspect.signature(loss_method).parameters)
+    static_params = {k: v for k, v in dict(cfg.loss_params).items() if k in accepted}
 
     def microbatch_terms(params, keep, forget, cond, key, dyn_scalars):
         """Compute (term_x, term_a | scalar loss, stats) for one microbatch."""
@@ -171,7 +177,8 @@ def build_deletion_train_step(
             "og_latents": forget,
             "noisy_latents": q_sample(schedule, forget, input_noise, timesteps),
         }
-        loss_params = {**static_params, **dyn_scalars}
+        loss_params = {**static_params,
+                       **{k: v for k, v in dyn_scalars.items() if k in accepted}}
 
         def eps_fn(x, t, c):
             return eps_apply(params, x, t, c)
