@@ -98,6 +98,43 @@ def _make_sd_dataset(root):
     return img_dir
 
 
+def test_delete_sd_resume_from_latest(tmp_path):
+    """Interrupted-run resume: train 1 step w/ checkpointing, then resume
+    'latest' and confirm the step counter continues (``delete_sd.py:780-801``)."""
+    root = str(tmp_path)
+    _make_sd_dataset(root)
+    base_overrides = [
+        f"base_dir={root}",
+        f"output_dir={root}/out",
+        "model_variant=tiny",
+        "mesh.data=1",
+        "train_batch_size=2",
+        "gradient_accumulation_steps=1",
+        "eval_batches=0",
+        "resolution=32",
+        "gradient_checkpointing=false",
+        "pretrained_model_name_or_path=/nonexistent",
+        "og_prompts_path=/nonexistent.json",
+        "modified_prompts_path=/nonexistent.json",
+        "checkpointing_steps=1",
+    ]
+    from siss_tpu.tasks.delete_sd import DeleteSD
+
+    cfg = load_config("delete_sd", base_overrides + ["training_steps=1"])
+    DeleteSD(cfg).run()
+    assert os.path.isdir(os.path.join(root, "out", "checkpoint-1"))
+
+    cfg2 = load_config("delete_sd", base_overrides + [
+        "training_steps=3", "resume_from_checkpoint=latest"])
+    DeleteSD(cfg2).run()
+    # resumed run continued from step 1 → final bundle at step 3
+    assert os.path.isdir(os.path.join(root, "out", "checkpoint-3"))
+    rows = [json.loads(l) for l in open(os.path.join(root, "out", "metrics.jsonl"))]
+    steps = [r["_step"] for r in rows if "loss_x/mean" in r]
+    # first run logged img_count 2 (1 step × bs 2); resume logged 4 and 6
+    assert steps == [2, 4, 6]
+
+
 def test_delete_sd_task_end_to_end(tmp_path):
     """Full DeleteSD graph (tiny models, zero conditioning, 2 steps)."""
     root = str(tmp_path)
