@@ -64,7 +64,7 @@ class Task(abc.ABC):
         for k in ("block_out_channels", "down_block_types", "up_block_types"):
             if k in node and isinstance(node[k], list):
                 node[k] = tuple(node[k])
-        ucfg = fn(**node) if node or not callable(fn) else fn()
+        ucfg = fn(**node)  # UNet2DConfig(...) or a preset classmethod
         model = UNet2D(ucfg, dtype=self.compute_dtype())
         return model, ucfg
 

@@ -104,10 +104,10 @@ class CheckpointManager:
         path = self.latest() if path_or_latest == "latest" else path_or_latest
         if path is None:
             raise FileNotFoundError(f"No checkpoints under {self.root}")
-        if not os.path.isabs(path):
+        if not os.path.isabs(path) and not os.path.exists(path):
             path = os.path.join(self.root, path)
         with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(path, template)
+            return ckptr.restore(os.path.abspath(path), template)
 
     def step_of(self, path: str) -> int:
         m = re.search(r"checkpoint-(\d+)", path)
