@@ -32,6 +32,7 @@ from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
 from siss_tpu.utils import CheckpointManager
+from siss_tpu.utils.preemption import PreemptionGuard
 
 
 class DeleteCeleb(Task):
@@ -179,8 +180,13 @@ class DeleteCeleb(Task):
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
         log_metrics(0)
+        guard = PreemptionGuard().install()
         t_last = time.time()
         for global_step in range(1, training_steps + 1):
+            if guard.should_stop:
+                ckpt.save_bundle(global_step - 1, {"state": state, "unet": state.params})
+                print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
+                break
             batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), next(stream))
             key, step_key = jax.random.split(key)
             state, metrics = step_fn(state, batch, step_key, {})

@@ -33,6 +33,7 @@ from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
 from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.utils import CheckpointManager
+from siss_tpu.utils.preemption import PreemptionGuard
 
 
 class DeleteSD(Task):
@@ -293,8 +294,16 @@ class DeleteSD(Task):
 
         superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
         decay = cfg.deletion.get("superfactor_decay")
+        guard = PreemptionGuard().install()
         t_last = time.time()
         while global_step < training_steps:
+            if guard.should_stop:
+                ckpt.save_bundle(global_step, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
+                print(f"[preemption] saved checkpoint-{global_step}; exiting")
+                break
             images = {
                 "all": np.stack([next(keep_it) for _ in range(accum)]),
                 "deletion": np.stack([next(forget_it) for _ in range(accum)]),

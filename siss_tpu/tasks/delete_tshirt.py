@@ -27,6 +27,7 @@ from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
 from siss_tpu.utils import CheckpointManager
+from siss_tpu.utils.preemption import PreemptionGuard
 
 
 class DeleteTShirt(Task):
@@ -180,8 +181,16 @@ class DeleteTShirt(Task):
         log_metrics(0)
         superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
         decay = cfg.deletion.get("superfactor_decay")
+        guard = PreemptionGuard().install()
         t_last = time.time()
         for global_step in range(1, training_steps + 1):
+            if guard.should_stop:
+                ckpt.save_bundle(global_step - 1, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
+                print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
+                break
             batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), next(stream))
             key, step_key = jax.random.split(key)
             dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}

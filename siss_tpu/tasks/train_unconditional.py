@@ -20,6 +20,7 @@ from siss_tpu.tasks.base import Task
 from siss_tpu.train import TrainState, build_pretrain_step
 from siss_tpu.train.optim import build_optimizer
 from siss_tpu.utils import CheckpointManager
+from siss_tpu.utils.preemption import PreemptionGuard
 
 
 class TrainUnconditional(Task):
@@ -95,8 +96,13 @@ class TrainUnconditional(Task):
         loader = BatchLoader(dataset, InfiniteSampler(len(dataset), seed=int(cfg.random_seed)),
                              int(cfg.train_batch_size))
         it = iter(loader)
+        guard = PreemptionGuard().install()
         t_last = time.time()
         while global_step < total_steps:
+            if guard.should_stop:
+                save_checkpoint(global_step, state)
+                print(f"[preemption] saved checkpoint-{global_step}; exiting")
+                break
             batch = jax.device_put(jnp.asarray(next(it)), sharding)
             key, step_key = jax.random.split(key)
             state, metrics = step_fn(state, batch, step_key)
