@@ -82,7 +82,8 @@ def _siss_reduce(preds, mix, x_og, a_og, gamma, sigma):
 
     Inputs flattened [B, P] float32 (P a multiple of _TILE); gamma/sigma [B].
     The batch is padded to a multiple of 8 rows (TPU sublane tile); padded
-    rows use sigma=1 to avoid inf and are sliced away.
+    rows get inv_sigma=0 (the reciprocal is taken BEFORE zero-padding, so
+    no division by the padding occurs) and are sliced away.
     """
     B, P = preds.shape
     B_pad = -(-B // 8) * 8

@@ -51,7 +51,6 @@ class TrainUnconditional(Task):
         base_step = build_pretrain_step(
             eps_apply, schedule, tx,
             prediction_type=str(schedule.prediction_type),
-            use_ema=use_ema,
             ema_inv_gamma=float(cfg.ema.ema_inv_gamma),
             ema_power=float(cfg.ema.ema_power),
             ema_max_decay=float(cfg.ema.ema_max_decay),

@@ -154,20 +154,26 @@ def build_deletion_train_step(
     accepted = set(inspect.signature(loss_method).parameters)
     static_params = {k: v for k, v in dict(cfg.loss_params).items() if k in accepted}
 
-    def microbatch_terms(params, keep, forget, cond, key, dyn_scalars):
-        """Compute (term_x, term_a | scalar loss, stats) for one microbatch."""
+    def _draw_noise_and_t(key, keep):
+        """Shared per-microbatch randomness: ε (+offset), t, loss key,
+        input perturbation — distinct streams for every draw."""
         mb = keep.shape[0]
-        k_noise, k_t, k_loss, k_perturb = jax.random.split(key, 4)
+        k_noise, k_t, k_loss, k_offset, k_perturb = jax.random.split(key, 5)
         noise = jax.random.normal(k_noise, keep.shape, dtype=keep.dtype)
         if cfg.noise_offset > 0.0:
             # offset noise trick: per-sample-per-channel DC shift.
             off_shape = keep.shape[:1] + (1,) * (keep.ndim - 2) + keep.shape[-1:]
-            noise = noise + cfg.noise_offset * jax.random.normal(k_perturb, off_shape, dtype=keep.dtype)
+            noise = noise + cfg.noise_offset * jax.random.normal(k_offset, off_shape, dtype=keep.dtype)
         timesteps = jax.random.randint(k_t, (mb,), cfg.t_min, cfg.t_max)
-
         input_noise = noise
         if cfg.input_perturbation > 0.0:
             input_noise = noise + cfg.input_perturbation * jax.random.normal(k_perturb, noise.shape, dtype=noise.dtype)
+        return noise, input_noise, timesteps, k_loss
+
+    def microbatch_terms(params, keep, forget, cond, key, dyn_scalars):
+        """Compute (term_x, term_a | scalar loss, stats) for one microbatch."""
+        mb = keep.shape[0]
+        noise, input_noise, timesteps, k_loss = _draw_noise_and_t(key, keep)
 
         all_samples = {
             "og_latents": keep,
@@ -217,10 +223,12 @@ def build_deletion_train_step(
         lambd = float(static_params["lambd"])
 
         def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            if "lambd" in dyn_scalars:
+                raise ValueError(
+                    "dynamic lambd is not supported by the fused SISS path; "
+                    "set fused_siss=False to decay lambd at runtime")
             mb = keep.shape[0]
-            k_noise, k_t, k_loss, k_perturb = jax.random.split(key, 4)
-            noise = jax.random.normal(k_noise, keep.shape, dtype=keep.dtype)
-            timesteps = jax.random.randint(k_t, (mb,), cfg.t_min, cfg.t_max)
+            noise, _, timesteps, k_loss = _draw_noise_and_t(key, keep)
             noisy_keep = q_sample(schedule, keep, noise, timesteps)
             noisy_forget = q_sample(schedule, forget, noise, timesteps)
             all_mask = jax.random.uniform(k_loss, (mb,)) > lambd
@@ -263,7 +271,35 @@ def build_deletion_train_step(
             (g_a,) = pullback((zero, one))
             return g_x, g_a, stats
 
-    else:  # independent forwards per term → two independent grads
+    elif cfg.loss_fn in ("double_forward_with_neg_del", "erasediff"):
+        # Two-forward losses: differentiate each term through ONLY its own
+        # UNet forward (2 fwd + 2 bwd total — differentiating the full
+        # loss method per term would re-run both forwards each time).
+        # Per-term MSE math mirrors losses/deletion.py:double_forward/erasediff.
+
+        def micro_grads(params, keep, forget, cond, key, dyn_scalars):
+            mb = keep.shape[0]
+            noise, input_noise, timesteps, k_loss = _draw_noise_and_t(key, keep)
+            noisy_keep = q_sample(schedule, keep, input_noise, timesteps)
+            noisy_forget = q_sample(schedule, forget, input_noise, timesteps)
+            if cfg.loss_fn == "erasediff":
+                forget_target = jax.random.uniform(k_loss, noise.shape, dtype=noise.dtype)
+            else:
+                forget_target = noise
+
+            def term_x(p):
+                lx = (eps_apply(p, noisy_keep, timesteps, cond) - noise) ** 2
+                return lx.sum() / mb, _tensor_stats(lx, "loss_x")
+
+            def term_a(p):
+                la = (eps_apply(p, noisy_forget, timesteps, cond) - forget_target) ** 2
+                return la.sum() / mb, _tensor_stats(la, "loss_a")
+
+            g_x, stats_x = jax.grad(term_x, has_aux=True)(params)
+            g_a, stats_a = jax.grad(term_a, has_aux=True)(params)
+            return g_x, g_a, {**stats_x, **stats_a}
+
+    else:  # generic surgery-path fallback: two grads through the loss method
 
         def micro_grads(params, keep, forget, cond, key, dyn_scalars):
             def term(p, which):
@@ -305,7 +341,16 @@ def build_deletion_train_step(
         g_x = jax.tree.map(lambda g: g / A, g_x)
         g_a = jax.tree.map(lambda g: g / A, g_a)
 
-        metrics = {k: v.mean() for k, v in stats.items()}
+        # Aggregate per-microbatch stats across the scan axis: extrema keep
+        # their semantics; means/stds average.
+        def agg(k, v):
+            if k.endswith("/max"):
+                return v.max()
+            if k.endswith("/min"):
+                return v.min()
+            return v.mean()
+
+        metrics = {k: agg(k, v) for k, v in stats.items()}
 
         if cfg.is_scalar_path:
             final_grad = g_x
@@ -356,7 +401,6 @@ def build_pretrain_step(
     *,
     prediction_type: str = "epsilon",
     max_grad_norm: float = 1.0,
-    use_ema: bool = True,
     ema_inv_gamma: float = 1.0,
     ema_power: float = 0.75,
     ema_max_decay: float = 0.9999,
