@@ -65,7 +65,8 @@ class StableDiffusionPipeline:
         return self.text_apply(self.text_params, jnp.asarray(ids))
 
     def uncond_embeds(self, batch_size: int = 1) -> jax.Array:
-        return jnp.broadcast_to(self.encode_prompt(""), (batch_size, 77, self.encode_prompt("").shape[-1]))
+        e = self.encode_prompt("")
+        return jnp.broadcast_to(e, (batch_size, e.shape[-2], e.shape[-1]))
 
     @staticmethod
     def load_prompt_embeds(path: str) -> jax.Array:
@@ -193,9 +194,9 @@ class StableDiffusionPipeline:
             t, p = jnp.asarray(int(t)), jnp.asarray(int(p))
             if i in target:
                 grads.append(grad_at(latents, t, prompt_embeds))
-            latents = advance(latents, t, p)
             if i == max(target):
                 break
+            latents = advance(latents, t, p)
         return np.asarray(jnp.stack(grads).mean(axis=0))
 
     def aug_prompt(self, prompt_embeds: jax.Array, uncond_embeds: jax.Array,

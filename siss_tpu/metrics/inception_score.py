@@ -40,7 +40,8 @@ def inception_score_from_logits(
         kl = (p * (lp - jnp.log(mean_p))).sum(axis=1).mean()
         scores.append(jnp.exp(kl))
     kl = jnp.stack(scores)
-    return kl.mean(), kl.std(ddof=1) if hasattr(jnp, "std") else kl.std()
+    std = kl.std(ddof=1) if len(scores) > 1 else jnp.zeros(())
+    return kl.mean(), std
 
 
 class InceptionScore:

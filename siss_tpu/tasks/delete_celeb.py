@@ -134,6 +134,31 @@ class DeleteCeleb(Task):
 
             fid_eval = build_fid_evaluator(to_dict(fid_cfg.class_cfg), dataset_all)
 
+        # optional image classifier for deletion-class fraction (the shipped
+        # celeb config disables it, reference parity; wired when provided)
+        classifier = None
+        if metrics_cfg.get("classifier_cfg"):
+            from siss_tpu.config.core import get_object
+            from siss_tpu.metrics import Classifier
+
+            clf_cfg = metrics_cfg.classifier_cfg
+            try:
+                arch_fn = get_object(str(clf_cfg.classifier_arch))
+                clf_model = arch_fn(**to_dict(clf_cfg.get("classifier_args") or {}))
+                ckpt_path = str(clf_cfg.classifier_ckpt)
+                if ckpt_path.endswith((".pt", ".pth", ".bin")):
+                    from siss_tpu.models.resnet import load_torch_resnet
+
+                    clf_params = load_torch_resnet(ckpt_path, clf_model)
+                else:
+                    clf_params = CheckpointManager(os.path.dirname(ckpt_path)).restore(
+                        ckpt_path,
+                        clf_model.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, ucfg.in_channels))))
+                classifier = Classifier(lambda p, x: clf_model.apply(p, x, train=False), clf_params)
+            except Exception as e:
+                print(f"[delete_celeb] classifier unavailable ({e}); fraction metric disabled")
+
         deletion_tracker = {"reached": False, "step": None}
 
         def evaluate_unlearning_timestep(eval_params, timestep, clean_image, n, ekey):
@@ -149,8 +174,12 @@ class DeleteCeleb(Task):
             m = {}
             imgs = evaluator.sample_images(eval_params, int(cfg.eval_batch_size), set_generator=True)
             tracker.log_images("Sampled Images", Evaluator.make_grid_from_images(imgs), step=step)
-            if metrics_cfg.get("fraction_deletion") and metrics_cfg.get("classifier_cfg"):
-                pass  # celeb config ships with classifier disabled (reference parity)
+            if metrics_cfg.get("fraction_deletion") and classifier is not None:
+                frac = classifier.compute_class_frequency(imgs, int(cfg.deletion.get("class_label", 0)))
+                m["metrics/deletion_class_fraction"] = frac
+                if frac == 0.0 and not deletion_tracker["reached"]:
+                    deletion_tracker.update(reached=True, step=step)
+                    tracker.log_summary("deletion_steps", step)  # reference :492-498
             if inj_cfg is not None:
                 gen = evaluate_unlearning_timestep(
                     eval_params, int(inj_cfg.timestep), target_image,
@@ -199,5 +228,6 @@ class DeleteCeleb(Task):
             if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
                 ckpt.save_bundle(global_step, {"state": state, "unet": state.params})
 
-        ckpt.save_bundle(training_steps, {"state": state, "unet": state.params})
+        if not guard.should_stop:
+            ckpt.save_bundle(training_steps, {"state": state, "unet": state.params})
         tracker.finish()

@@ -210,8 +210,9 @@ class DeleteTShirt(Task):
                     "unet_ema": state.ema.params if state.ema is not None else None,
                 })
 
-        ckpt.save_bundle(training_steps, {
-            "state": state, "unet": state.params,
-            "unet_ema": state.ema.params if state.ema is not None else None,
-        })
+        if not guard.should_stop:
+            ckpt.save_bundle(training_steps, {
+                "state": state, "unet": state.params,
+                "unet_ema": state.ema.params if state.ema is not None else None,
+            })
         tracker.finish()

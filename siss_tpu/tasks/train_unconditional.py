@@ -124,5 +124,6 @@ class TrainUnconditional(Task):
             if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
                 save_checkpoint(global_step, state)
 
-        save_checkpoint(global_step, state)
+        if not guard.should_stop:
+            save_checkpoint(global_step, state)
         tracker.finish()

@@ -51,26 +51,36 @@ class CheckpointManager:
     def save(self, step: int, state: Any):
         ocp = _ocp()
         path = self._path(step)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        tmp = path + ".tmp"
+        for stale in (path, tmp):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, state)
+            ckptr.save(tmp, state)
+        os.rename(tmp, path)
         self._rotate()
         return path
 
     def save_bundle(self, step: int, items: dict):
         """Save named sub-checkpoints under one checkpoint-<step>/ dir —
         mirrors the reference's accelerate-state + ``unet/``/``unet_ema/``
-        diffusers subfolders layout (``delete_celeb.py:137-147``)."""
+        diffusers subfolders layout (``delete_celeb.py:137-147``).
+
+        Atomic: written to a ``.tmp`` dir and renamed on completion so a
+        mid-save kill (preemption) never leaves a partial bundle that
+        ``latest()`` would resolve to."""
         ocp = _ocp()
         path = self._path(step)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.makedirs(path)
+        tmp = path + ".tmp"
+        for stale in (path, tmp):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        os.makedirs(tmp)
         with ocp.StandardCheckpointer() as ckptr:
             for name, item in items.items():
                 if item is not None:
-                    ckptr.save(os.path.join(path, name), item)
+                    ckptr.save(os.path.join(tmp, name), item)
+        os.rename(tmp, path)
         self._rotate()
         return path
 

@@ -29,3 +29,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_preemption_flag():
+    """The preemption stop flag is process-wide by design; don't let one
+    test's SIGTERM stop later tests' training loops."""
+    yield
+    from siss_tpu.utils.preemption import PreemptionGuard
+
+    PreemptionGuard().reset()
