@@ -190,10 +190,13 @@ def _apply_override(tree: Dict[str, Any], dotted: str, value: Any, allow_new: bo
     parts = dotted.split(".")
     cur = tree
     for p in parts[:-1]:
-        if p not in cur or not isinstance(cur[p], dict):
-            if not allow_new and p not in cur:
+        if p in cur and not isinstance(cur[p], dict):
+            raise KeyError(
+                f"Override path {dotted!r}: {p!r} holds a value, not a section")
+        if p not in cur:
+            if not allow_new:
                 raise KeyError(f"Override path {dotted!r}: unknown key {p!r} (prefix with + to add)")
-            cur[p] = cur.get(p) if isinstance(cur.get(p), dict) else {}
+            cur[p] = {}
         cur = cur[p]
     last = parts[-1]
     if not allow_new and last not in cur:

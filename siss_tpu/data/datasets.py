@@ -25,11 +25,15 @@ import numpy as np
 
 
 def normalize_to_unit_range(img: np.ndarray) -> np.ndarray:
-    """uint8/float [0,255] → float32 [-1,1] (ToTensor + Normalize(0.5, 0.5))."""
-    img = np.asarray(img, np.float32)
-    if img.max() > 1.0 + 1e-6:
-        img = img / 255.0
-    return img * 2.0 - 1.0
+    """uint8 [0,255] or float [0,1] → float32 [-1,1] (ToTensor +
+    Normalize(0.5, 0.5)). Integer inputs are 255-scaled by dtype — never by
+    value, which would corrupt near-black images."""
+    arr = np.asarray(img)
+    if np.issubdtype(arr.dtype, np.integer):
+        out = arr.astype(np.float32) / 255.0
+    else:
+        out = arr.astype(np.float32)
+    return out * 2.0 - 1.0
 
 
 def _to_nhwc(img: np.ndarray) -> np.ndarray:

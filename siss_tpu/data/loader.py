@@ -77,14 +77,25 @@ class BatchLoader:
         _SENTINEL = object()
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop so an abandoned iterator
+            # can't leave the worker blocked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in self._batches():
-                    if stop.is_set():
+                    if not put(b):
                         return
-                    q.put(b)
-            finally:
-                q.put(_SENTINEL)
+                put(_SENTINEL)
+            except BaseException as e:  # surface dataset errors to the consumer
+                put((_SENTINEL, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -93,9 +104,17 @@ class BatchLoader:
                 b = q.get()
                 if b is _SENTINEL:
                     return
+                if isinstance(b, tuple) and len(b) == 2 and b[0] is _SENTINEL:
+                    raise RuntimeError("BatchLoader worker failed") from b[1]
                 yield b
         finally:
             stop.set()
+            # unblock a worker waiting on a full queue
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def _default_collate(items):

@@ -107,7 +107,7 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact erf gelu
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
 
 

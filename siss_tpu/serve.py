@@ -51,6 +51,7 @@ class SamplerService:
         self.params = params
         self.schedule = NoiseSchedule.create(1000, "linear")
         self._compiled = {}
+        self._key_locks = {}
         self._lock = threading.Lock()
 
     def _eps_fn(self):
@@ -61,19 +62,30 @@ class SamplerService:
 
     def _get_sampler(self, n: int, steps: int, sampler: str):
         key = (n, steps, sampler)
+        # per-key locks: a cold-shape compile (minutes for big UNets) must
+        # not stall requests whose shapes are already warm
         with self._lock:
-            if key not in self._compiled:
-                from siss_tpu.diffusion.sampling import sample_ddpm, sample_dpm_solver_2m
+            cached = self._compiled.get(key)
+            key_lock = self._key_locks.setdefault(key, threading.Lock())
+        if cached is not None:
+            return cached
+        with key_lock:
+            with self._lock:
+                cached = self._compiled.get(key)
+            if cached is not None:
+                return cached
+            from siss_tpu.diffusion.sampling import sample_ddpm, sample_dpm_solver_2m
 
-                fn = sample_dpm_solver_2m if sampler == "dpm" else sample_ddpm
+            fn = sample_dpm_solver_2m if sampler == "dpm" else sample_ddpm
 
-                @jax.jit
-                def run(rng):
-                    return fn(self._eps_fn(), self.schedule, rng, (n, *self.shape), steps)
+            @jax.jit
+            def run(rng):
+                return fn(self._eps_fn(), self.schedule, rng, (n, *self.shape), steps)
 
-                run(jax.random.PRNGKey(0)).block_until_ready()  # compile now
+            run(jax.random.PRNGKey(0)).block_until_ready()  # compile now
+            with self._lock:
                 self._compiled[key] = run
-            return self._compiled[key]
+            return run
 
     def sample_png(self, n: int = 4, steps: int = 50, seed: int = 0,
                    sampler: str = "ddpm") -> bytes:
@@ -100,8 +112,10 @@ def make_handler(service: SamplerService):
 
         def do_GET(self):
             if self.path == "/healthz":
+                with service._lock:
+                    compiled = [list(k) for k in service._compiled]
                 body = json.dumps({"ok": True, "model": service.arch,
-                                   "compiled": [list(k) for k in service._compiled]}).encode()
+                                   "compiled": compiled}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
@@ -115,13 +129,13 @@ def make_handler(service: SamplerService):
                 self.send_response(404)
                 self.end_headers()
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
                 png = service.sample_png(
                     n=int(req.get("n", 4)), steps=int(req.get("steps", 50)),
                     seed=int(req.get("seed", 0)), sampler=str(req.get("sampler", "ddpm")))
-            except Exception as e:  # surface sampler errors as 400s
+            except Exception as e:  # malformed bodies and sampler errors -> 400
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)
                 self.send_header("Content-Type", "application/json")

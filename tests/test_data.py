@@ -14,9 +14,17 @@ from siss_tpu.data import (
 
 
 def test_normalize():
-    img = np.asarray([[0, 127.5, 255]], np.float32)
+    img = np.asarray([[0, 128, 255]], np.uint8)
     out = normalize_to_unit_range(img)
-    np.testing.assert_allclose(out, [[-1, 0, 1]], atol=1e-6)
+    np.testing.assert_allclose(out, [[-1, 128 / 255 * 2 - 1, 1]], atol=1e-6)
+    # floats are taken as [0,1]
+    np.testing.assert_allclose(normalize_to_unit_range(np.asarray([[0.0, 0.5, 1.0]], np.float32)),
+                               [[-1, 0, 1]], atol=1e-6)
+    # dtype-based: a near-black uint8 image must NOT be value-rescaled
+    dark = np.zeros((2, 2), np.uint8)
+    dark[0, 0] = 1
+    out = normalize_to_unit_range(dark)
+    np.testing.assert_allclose(out.max(), 1 / 255 * 2 - 1, atol=1e-6)
 
 
 def test_synthetic_dataset_structure():
