@@ -73,3 +73,20 @@ def test_graft_dryrun_multichip():
 
     __graft_entry__.dryrun_multichip(8)
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_checkpoint_bundle_is_atomic(tmp_path):
+    """save_bundle leaves no .tmp dirs and latest() never resolves to one."""
+    mgr = CheckpointManager(str(tmp_path))
+    tx = optax.sgd(0.1)
+    state = TrainState.create({"w": jnp.asarray(2.0)}, tx)
+    mgr.save_bundle(5, {"state": state, "unet": state.params})
+    entries = os.listdir(tmp_path)
+    assert entries == ["checkpoint-5"]
+    assert not any(e.endswith(".tmp") for e in entries)
+    # a stale .tmp from a killed save is ignored by latest() and cleaned by
+    # the next save of the same step
+    os.makedirs(tmp_path / "checkpoint-9.tmp")
+    assert mgr.latest().endswith("checkpoint-5")
+    mgr.save_bundle(9, {"unet": state.params})
+    assert sorted(os.listdir(tmp_path)) == ["checkpoint-5", "checkpoint-9"]
