@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm
+from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm, sample_dpm_solver_2m
 from siss_tpu.diffusion.schedule import NoiseSchedule
 
 
@@ -30,26 +30,31 @@ class Evaluator:
 
     def __init__(self, eps_apply: Callable, schedule: NoiseSchedule,
                  sample_shape: tuple, num_inference_steps: int = 50,
-                 random_seed: int = 0):
+                 random_seed: int = 0, solver: str = "ddpm"):
         """``eps_apply(params, x, t, cond) -> eps``; ``sample_shape`` is
-        (H, W, C)."""
+        (H, W, C). ``solver``: "ddpm" (reference-parity ancestral loop) or
+        "dpm" (DPM-Solver++(2M) — comparable quality in 10-20 steps)."""
         self.eps_apply = eps_apply
         self.schedule = schedule
         self.sample_shape = tuple(sample_shape)
         self.num_inference_steps = num_inference_steps
         self.random_seed = random_seed
+        if solver not in ("ddpm", "dpm"):
+            raise ValueError(f"Unknown solver {solver!r}: choose ddpm or dpm")
+        self.solver = solver
         self._sample_jit = functools.lru_cache(maxsize=8)(self._build_sample)
         self._denoise_jit = functools.lru_cache(maxsize=8)(self._build_denoise)
 
     def _build_sample(self, batch_size: int, steps: int):
         shape = (batch_size, *self.sample_shape)
+        sampler = sample_dpm_solver_2m if self.solver == "dpm" else sample_ddpm
 
         @jax.jit
         def fn(params, key):
             def eps_fn(x, t, cond):
                 return self.eps_apply(params, x, t, cond)
 
-            return sample_ddpm(eps_fn, self.schedule, key, shape, steps)
+            return sampler(eps_fn, self.schedule, key, shape, steps)
 
         return fn
 

@@ -101,7 +101,8 @@ class DeleteCeleb(Task):
         evaluator = Evaluator(eps_apply, schedule,
                               (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
                               num_inference_steps=int(cfg.pipeline.num_inference_steps),
-                              random_seed=int(cfg.random_seed))
+                              random_seed=int(cfg.random_seed),
+                              solver=str(cfg.pipeline.get("solver", "ddpm")))
 
         metrics_cfg = cfg.get("metrics") or {}
         inj_cfg = metrics_cfg.get("denoising_injections")

@@ -89,6 +89,7 @@ class TrainUnconditional(Task):
             (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
             num_inference_steps=int(cfg.pipeline.num_inference_steps),
             random_seed=int(cfg.random_seed),
+            solver=str(cfg.pipeline.get("solver", "ddpm")),
         )
 
         sharding = batch_sharding(mesh)
