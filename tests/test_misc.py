@@ -75,6 +75,26 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(4)
 
 
+def test_graft_dryrun_driver_contract():
+    """Regression for MULTICHIP_r01 (ok=false): dryrun_multichip(8) must
+    succeed when called in-process AFTER jax already initialized its default
+    backend — the way the driver invokes it. The subprocess clears the test
+    harness's CPU overrides so jax picks the machine's real default backend
+    (the live-TPU tunnel on the bench box, plain 1-device CPU elsewhere)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = (
+        "import jax; jax.devices();"  # init default backend first, like the driver
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo_root,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
 def test_checkpoint_bundle_is_atomic(tmp_path):
     """save_bundle leaves no .tmp dirs and latest() never resolves to one."""
     mgr = CheckpointManager(str(tmp_path))
