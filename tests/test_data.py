@@ -81,6 +81,87 @@ def test_repeated_sampler():
     assert len(s) == 6
 
 
+def _reference_window_stream(n, num_draws, seed=0, window_size=0.5):
+    """Reference-semantics sliding-window swap chain (StyleGAN-style, as in
+    the upstream infinite_sampler), used only as the statistical yardstick
+    for our shuffle-buffer design."""
+    order = np.random.RandomState(seed).permutation(n)
+    rnd = np.random.RandomState(seed + 1)
+    window = int(np.rint(n * window_size))
+    out = []
+    idx = 0
+    while len(out) < num_draws:
+        i = idx % n
+        out.append(int(order[i]))
+        if window >= 2:
+            j = (i - rnd.randint(window)) % n
+            order[i], order[j] = order[j], order[i]
+        idx += 1
+    return np.asarray(out)
+
+
+def test_infinite_sampler_statistical_equivalence():
+    """The shuffle-buffer stream must match the reference sliding-window
+    sampler on the properties training depends on: uniform long-run
+    coverage, ~one visit per epoch-sized stretch, and bounded staleness."""
+    n, epochs = 32, 40
+    draws = n * epochs
+    it = iter(InfiniteSampler(n, shuffle=True, seed=3, window_size=0.5))
+    ours = np.asarray([next(it) for _ in range(draws)])
+    ref = _reference_window_stream(n, draws, seed=3, window_size=0.5)
+
+    def gap_stats(stream):
+        gaps = np.concatenate(
+            [np.diff(np.flatnonzero(stream == v)) for v in range(n)])
+        return gaps
+
+    for stream in (ours, ref):
+        counts = np.bincount(stream, minlength=n)
+        # long-run balance: every index within ±25% of `epochs` visits
+        assert counts.min() >= epochs * 0.75 and counts.max() <= epochs * 1.25
+        # local randomization actually happens: not a pure epoch replay
+        assert not np.array_equal(stream[:n], stream[n:2 * n])
+
+    # staleness distributions match: mean revisit gap ≈ one epoch for both,
+    # and the tails (median/p95) agree within 25% — both idioms delay items
+    # probabilistically inside their window, so compare quantiles not maxima
+    g_ours, g_ref = gap_stats(ours), gap_stats(ref)
+    for g in (g_ours, g_ref):
+        assert 0.8 * n <= g.mean() <= 1.2 * n
+    for q in (0.5, 0.95):
+        a, b = np.quantile(g_ours, q), np.quantile(g_ref, q)
+        assert abs(a - b) <= 0.25 * max(a, b), (q, a, b)
+
+    # per-epoch-window unique-fraction (local diversity) within 5% of ref
+    uniq = lambda s: np.mean([len(set(s[i:i + n])) / n for i in range(0, draws - n, n)])
+    assert abs(uniq(ours) - uniq(ref)) < 0.05
+
+
+def test_infinite_sampler_rank_union_is_single_stream():
+    """Union of all ranks' outputs == the num_replicas=1 stream, element for
+    element (the reference's DDP contract: identical stream, strided picks)."""
+    n, take = 16, 64
+    single = iter(InfiniteSampler(n, shuffle=True, seed=7))
+    expect = [next(single) for _ in range(take * 2)]
+    r0 = iter(InfiniteSampler(n, rank=0, num_replicas=2, shuffle=True, seed=7))
+    r1 = iter(InfiniteSampler(n, rank=1, num_replicas=2, shuffle=True, seed=7))
+    merged = []
+    for _ in range(take):
+        merged.append(next(r0))
+        merged.append(next(r1))
+    assert merged == expect
+
+
+def test_infinite_sampler_window0_replays_fixed_permutation():
+    """window_size=0 degenerates to replaying one fixed shuffled epoch
+    (reference behavior when the window is < 2)."""
+    it = iter(InfiniteSampler(12, shuffle=True, seed=5, window_size=0.0))
+    stream = [next(it) for _ in range(36)]
+    assert stream[:12] == stream[12:24] == stream[24:36]
+    assert sorted(stream[:12]) == list(range(12))
+    assert stream[:12] != list(range(12))  # actually shuffled
+
+
 def test_batch_loader_shapes():
     images, labels = make_synthetic_mnist_tshirt(n_per_class=4)
     ds = ArrayDataset(images, normalize=True)
