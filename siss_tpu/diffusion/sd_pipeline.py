@@ -239,7 +239,11 @@ class StableDiffusionPipeline:
             def loss_fn(e):
                 norm, _ = self._text_norm_loss(params, latents, t, e, uncond_embeds)
                 if optim_epsilon is not None:
-                    drift = jnp.sqrt(jnp.sum((e[:, 1:] - init_embeds[:, 1:]).astype(jnp.float32) ** 2, axis=-1)).mean()
+                    # double-where: sqrt'(0)=inf would leak NaN through the
+                    # unselected branch at the first iterate (zero drift)
+                    sq = jnp.sum((e[:, 1:] - init_embeds[:, 1:]).astype(jnp.float32) ** 2, axis=-1)
+                    safe = jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0))
+                    drift = jnp.where(sq > 0.0, safe, 0.0).mean()
                     anchored = alpha * norm + (1 - alpha) * drift
                     norm_out = jnp.where(drift > optim_epsilon, anchored, norm)
                 else:
@@ -253,7 +257,11 @@ class StableDiffusionPipeline:
 
         embeds = prompt_embeds
         for j in range(optim_iters):
-            embeds, opt_state, raw_norm = opt_step(embeds, opt_state)
+            # the reference checks target_loss on the CURRENT loss before
+            # taking the step (``:641-646``), so a below-target iterate is
+            # returned un-updated
+            new_embeds, new_opt_state, raw_norm = opt_step(embeds, opt_state)
             if target_loss is not None and float(raw_norm) <= target_loss:
                 break
+            embeds, opt_state = new_embeds, new_opt_state
         return embeds

@@ -8,6 +8,13 @@ from siss_tpu.parallel.mesh import (
     shard_params_fsdp,
     shard_batch,
 )
+from siss_tpu.parallel.multihost import (
+    global_batch_from_local,
+    global_microbatches_from_local,
+    local_stream,
+    make_rank_sampler,
+    process_batch_slice,
+)
 
 __all__ = [
     "MeshConfig",
@@ -18,4 +25,9 @@ __all__ = [
     "param_shardings",
     "shard_params_fsdp",
     "shard_batch",
+    "global_batch_from_local",
+    "global_microbatches_from_local",
+    "local_stream",
+    "make_rank_sampler",
+    "process_batch_slice",
 ]

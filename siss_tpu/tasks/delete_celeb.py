@@ -27,7 +27,7 @@ from siss_tpu.diffusion.sde import VPSDE
 from siss_tpu.evaluate import Evaluator
 from siss_tpu.metrics import MembershipLoss
 from siss_tpu.metrics.likelihood import LikelihoodEvaluator
-from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
+from siss_tpu.parallel import shard_params_fsdp
 from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
@@ -91,12 +91,20 @@ class DeleteCeleb(Task):
         step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
         state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)
 
-        # ---- streams: infinite keep; repeated forget sized for the run (:278)
-        keep_it = iter(BatchLoader(dataset_all, InfiniteSampler(len(dataset_all), seed=int(cfg.random_seed)), bs))
-        forget_sampler = RepeatedSampler(len(dataset_deletion), training_steps * accum * bs)
-        forget_it = iter(BatchLoader(dataset_deletion, forget_sampler, bs))
+        # ---- streams: infinite keep; repeated forget sized for the run (:278).
+        # Each process loads only its rank's stripe of the global batch
+        # (reference rank/num_replicas DDP contract, infinite_sampler.py:5-13)
+        # and the slices are stitched into one globally-sharded array.
+        from siss_tpu.parallel import global_microbatches_from_local, process_batch_slice
+
+        bs_local = process_batch_slice(bs)
+        keep_sampler = InfiniteSampler(len(dataset_all), rank=jax.process_index(),
+                                       num_replicas=jax.process_count(),
+                                       seed=int(cfg.random_seed))
+        keep_it = iter(BatchLoader(dataset_all, keep_sampler, bs_local))
+        forget_sampler = RepeatedSampler(len(dataset_deletion), training_steps * accum * bs_local)
+        forget_it = iter(BatchLoader(dataset_deletion, forget_sampler, bs_local))
         stream = dual_stream(keep_it, forget_it, accum)
-        sharding = microbatched_sharding(mesh)
 
         evaluator = Evaluator(eps_apply, schedule,
                               (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
@@ -209,20 +217,53 @@ class DeleteCeleb(Task):
                 tracker.log(m, step=step)
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
-        log_metrics(0)
+
+        # ---- mid-run resume (the reference left this commented out for
+        # celeb/tshirt; we support it for preemptible TPU runs)
+        start_step = 0
+        if cfg.get("resume_from_checkpoint"):
+            rpath = str(cfg.resume_from_checkpoint)
+            state = ckpt.restore_item("latest" if rpath == "latest" else rpath, "state", state)
+            start_step = int(state.step)
+            # fast-forward the data streams to the same sample offset
+            for _ in range(start_step * accum):
+                next(stream)
+            for _ in range(start_step):
+                key, _ = jax.random.split(key)
+            print(f"[delete_celeb] resumed from step {start_step}")
+
+        # per-microbatch superfactor decay (``delete_celeb.py:658-662``:
+        # decays inside the accumulation loop, once per logged microbatch)
+        superfactor = None
+        decay = cfg.deletion.get("superfactor_decay")
+        if cfg.deletion.get("loss_params") and cfg.deletion.loss_params.get("superfactor") is not None:
+            superfactor = float(cfg.deletion.loss_params.superfactor)
+            if decay:
+                superfactor *= float(decay) ** (start_step * accum)
+
+        if start_step == 0:
+            log_metrics(0)
         guard = PreemptionGuard().install()
         t_last = time.time()
-        for global_step in range(1, training_steps + 1):
+        for global_step in range(start_step + 1, training_steps + 1):
             if guard.should_stop:
                 ckpt.save_bundle(global_step - 1, {"state": state, "unet": state.params})
                 print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
                 break
-            batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), next(stream))
+            batch = global_microbatches_from_local(next(stream), mesh)
             key, step_key = jax.random.split(key)
-            state, metrics = step_fn(state, batch, step_key, {})
+            dyn = {}
+            if superfactor is not None:
+                d = float(decay) if decay else 1.0
+                dyn = {"superfactor": jnp.asarray(
+                    [superfactor * d**i for i in range(accum)], jnp.float32)}
+                superfactor *= d**accum
+            state, metrics = step_fn(state, batch, step_key, dyn)
             dt = time.time() - t_last
             t_last = time.time()
             metrics["images_per_sec"] = bs * accum / dt
+            if superfactor is not None:
+                metrics["superfactor"] = superfactor
             tracker.log(metrics, step=global_step)
             if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
                 log_metrics(global_step)

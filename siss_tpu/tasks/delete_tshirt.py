@@ -22,7 +22,11 @@ from siss_tpu.diffusion.sde import VPSDE
 from siss_tpu.evaluate import Evaluator
 from siss_tpu.metrics import InceptionScore, MembershipLoss, TShirtClassifier
 from siss_tpu.metrics.likelihood import LikelihoodEvaluator
-from siss_tpu.parallel import microbatched_sharding, shard_params_fsdp
+from siss_tpu.parallel import (
+    global_microbatches_from_local,
+    process_batch_slice,
+    shard_params_fsdp,
+)
 from siss_tpu.tasks.base import Task
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
@@ -78,10 +82,15 @@ class DeleteTShirt(Task):
         # ---- data streams (reference ``delete_tshirt.py:272-288``)
         accum = step_cfg.grad_accum_steps
         bs = int(cfg.train_batch_size)
-        keep_it = iter(BatchLoader(dataset_all, InfiniteSampler(len(dataset_all), seed=int(cfg.random_seed)), bs))
-        forget_it = iter(BatchLoader(dataset_deletion, InfiniteSampler(len(dataset_deletion), seed=int(cfg.random_seed) + 1), bs))
+        # per-process stripes of the global batch (reference DDP
+        # rank/num_replicas contract, infinite_sampler.py:5-13)
+        bs_local = process_batch_slice(bs)
+        rank, nrep = jax.process_index(), jax.process_count()
+        keep_it = iter(BatchLoader(dataset_all, InfiniteSampler(
+            len(dataset_all), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed)), bs_local))
+        forget_it = iter(BatchLoader(dataset_deletion, InfiniteSampler(
+            len(dataset_deletion), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed) + 1), bs_local))
         stream = dual_stream(keep_it, forget_it, accum)
-        sharding = microbatched_sharding(mesh)
 
         # ---- metric components
         evaluator = Evaluator(eps_apply, schedule,
@@ -178,13 +187,29 @@ class DeleteTShirt(Task):
                 m["metrics/is_mean"], m["metrics/is_std"] = mean, std
             tracker.log(m, step=step)
 
+        # ---- mid-run resume (reference has it commented out for tshirt;
+        # kept here for preemptible TPU runs)
+        start_step = 0
+        if cfg.get("resume_from_checkpoint"):
+            rpath = str(cfg.resume_from_checkpoint)
+            state = ckpt.restore_item("latest" if rpath == "latest" else rpath, "state", state)
+            start_step = int(state.step)
+            for _ in range(start_step * accum):
+                next(stream)
+            for _ in range(start_step):
+                key, _ = jax.random.split(key)
+            print(f"[delete_tshirt] resumed from step {start_step}")
+
         # ---- training loop
-        log_metrics(0)
         superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
         decay = cfg.deletion.get("superfactor_decay")
+        if superfactor is not None and decay:
+            superfactor = float(superfactor) * float(decay) ** (start_step * accum)
+        if start_step == 0:
+            log_metrics(0)
         guard = PreemptionGuard().install()
         t_last = time.time()
-        for global_step in range(1, training_steps + 1):
+        for global_step in range(start_step + 1, training_steps + 1):
             if guard.should_stop:
                 ckpt.save_bundle(global_step - 1, {
                     "state": state, "unet": state.params,
@@ -192,12 +217,18 @@ class DeleteTShirt(Task):
                 })
                 print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
                 break
-            batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), next(stream))
+            batch = global_microbatches_from_local(next(stream), mesh)
             key, step_key = jax.random.split(key)
-            dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}
+            # per-microbatch decay inside the accumulation loop
+            # (reference ``delete_tshirt.py`` analog of ``:658-662``)
+            dyn = {}
+            if superfactor is not None:
+                d = float(decay) if decay else 1.0
+                dyn = {"superfactor": jnp.asarray(
+                    [float(superfactor) * d**i for i in range(accum)], jnp.float32)}
             state, metrics = step_fn(state, batch, step_key, dyn)
             if superfactor is not None and decay:
-                superfactor = float(superfactor) * float(decay)  # reference :658-662
+                superfactor = float(superfactor) * float(decay) ** accum
                 metrics["superfactor"] = superfactor
             dt = time.time() - t_last
             t_last = time.time()

@@ -15,7 +15,7 @@ import numpy as np
 
 from siss_tpu.data import BatchLoader, InfiniteSampler
 from siss_tpu.evaluate import Evaluator
-from siss_tpu.parallel import batch_sharding, shard_params_fsdp
+from siss_tpu.parallel import global_batch_from_local, process_batch_slice, shard_params_fsdp
 from siss_tpu.tasks.base import Task
 from siss_tpu.train import TrainState, build_pretrain_step
 from siss_tpu.train.optim import build_optimizer
@@ -92,8 +92,7 @@ class TrainUnconditional(Task):
             solver=str(cfg.pipeline.get("solver", "ddpm")),
         )
 
-        sharding = batch_sharding(mesh)
-        loader = BatchLoader(dataset, InfiniteSampler(len(dataset), seed=int(cfg.random_seed)),
+        loader = BatchLoader(dataset, InfiniteSampler(len(dataset), rank=jax.process_index(), num_replicas=jax.process_count(), seed=int(cfg.random_seed)),
                              int(cfg.train_batch_size))
         it = iter(loader)
         guard = PreemptionGuard().install()
@@ -103,7 +102,7 @@ class TrainUnconditional(Task):
                 save_checkpoint(global_step, state)
                 print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            batch = jax.device_put(jnp.asarray(next(it)), sharding)
+            batch = global_batch_from_local(next(it), mesh)
             key, step_key = jax.random.split(key)
             state, metrics = step_fn(state, batch, step_key)
             global_step += 1

@@ -322,20 +322,25 @@ def build_deletion_train_step(
 
         zeros_like_params = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
 
+        # Dyn scalars with a leading [A] axis vary per microbatch and ride
+        # the scan (the reference decays ``superfactor`` inside the
+        # accumulation loop, once per microbatch — ``delete_celeb.py:658-662``);
+        # plain scalars broadcast to every microbatch.
+        dyn_scan = {k: v for k, v in dyn_scalars.items()
+                    if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == A}
+        dyn_const = {k: v for k, v in dyn_scalars.items() if k not in dyn_scan}
+
         def body(carry, xs):
             g_x_acc, g_a_acc = carry
-            if cond_all is None:
-                keep, forget, k = xs
-                cond = None
-            else:
-                keep, forget, cond, k = xs
-            g_x, g_a, stats = micro_grads(state.params, keep, forget, cond, k, dyn_scalars)
+            keep, forget, cond, k, dyn_mb = xs
+            g_x, g_a, stats = micro_grads(state.params, keep, forget, cond, k,
+                                          {**dyn_const, **dyn_mb})
             g_x_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_x_acc, g_x)
             if g_a is not None:
                 g_a_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_a_acc, g_a)
             return (g_x_acc, g_a_acc), stats
 
-        xs = (keep_all, forget_all, keys) if cond_all is None else (keep_all, forget_all, cond_all, keys)
+        xs = (keep_all, forget_all, cond_all, keys, dyn_scan)
         (g_x, g_a), stats = jax.lax.scan(body, (zeros_like_params, zeros_like_params), xs)
         # Mean over microbatches (Accelerate divides by accumulation steps).
         g_x = jax.tree.map(lambda g: g / A, g_x)

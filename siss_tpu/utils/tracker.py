@@ -92,6 +92,29 @@ class Tracker:
             self._wandb.log({name: [wandb.Image(p, caption=(captions[i] if captions else None))
                                     for i, p in enumerate(paths)]}, step=step)
 
+    def log_line_series(self, name: str, xs, ys, keys=None, title: str = "",
+                        xname: str = "x", step: Optional[int] = None):
+        """wandb ``plot.line_series`` panel (the reference's per-timestep
+        noise-norm curves, ``delete_sd.py:292-298``); always mirrored into
+        the JSONL stream so offline runs keep the full curves."""
+        if not self.main_process:
+            return
+        record = {
+            "_panel": "line_series", "_name": name, "_title": title,
+            "_xname": xname, "xs": [_to_scalar(x) for x in xs],
+            "ys": [[_to_scalar(y) for y in series] for series in ys],
+            "keys": list(keys) if keys is not None else None,
+            "_step": step, "_time": time.time(),
+        }
+        self._jsonl.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log(
+                {name: wandb.plot.line_series(xs=list(xs), ys=[list(s) for s in ys],
+                                              keys=keys, title=title, xname=xname)},
+                step=step)
+
     def log_summary(self, key: str, value: Any):
         """wandb run.summary equivalent (``delete_celeb.py:496``)."""
         if not self.main_process:

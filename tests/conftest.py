@@ -26,6 +26,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (full-suite tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run skips @pytest.mark.slow (task
+    end-to-end / dryrun / big-model tests) and finishes in ~3 min; CI runs
+    ``pytest --runslow`` (scripts/ci_full_suite.sh) for everything."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

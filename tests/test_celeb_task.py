@@ -18,6 +18,7 @@ def _make_celeb_folder(root, n=6, size=32):
         Image.fromarray(arr).save(os.path.join(root, f"1000{i}.jpg"))
 
 
+@pytest.mark.slow
 def test_delete_celeb_task_end_to_end(tmp_path):
     data_dir = str(tmp_path / "celeba")
     _make_celeb_folder(data_dir)

@@ -13,6 +13,7 @@ from siss_tpu.diffusion.sampling import sample_dpm_solver_2m
 from siss_tpu.train import TrainState
 from siss_tpu.train.ema import EMAState, ema_decay, ema_update
 from siss_tpu.utils import CheckpointManager
+import pytest
 
 
 def test_dpm_solver_matches_gaussian_target():
@@ -67,6 +68,7 @@ def test_checkpoint_manager_rotation_and_latest(tmp_path):
     assert int(full.step) == 0
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multichip validation must pass on the virtual mesh."""
     import __graft_entry__
@@ -75,6 +77,7 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_driver_contract():
     """Regression for MULTICHIP_r01 (ok=false): dryrun_multichip(8) must
     succeed when called in-process AFTER jax already initialized its default

@@ -5,6 +5,7 @@ import signal
 import time
 
 from siss_tpu.utils.preemption import PreemptionGuard
+import pytest
 
 
 def test_sigterm_sets_stop_flag():
@@ -25,6 +26,7 @@ def test_install_is_idempotent():
     assert g._installed
 
 
+@pytest.mark.slow
 def test_task_loop_breaks_and_checkpoints(tmp_path):
     """End-to-end: SIGTERM mid-pretraining saves a resumable bundle."""
     import threading

@@ -17,6 +17,7 @@ TINY_UNET = [
 ]
 
 
+@pytest.mark.slow
 def test_pretrain_then_delete_handoff(tmp_path):
     npz = str(tmp_path / "data.npz")
     from siss_tpu.data import make_synthetic_mnist_tshirt

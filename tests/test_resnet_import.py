@@ -61,6 +61,7 @@ class TorchResNet18(tnn.Module):
         return self.fc(x)
 
 
+@pytest.mark.slow
 def test_torch_resnet18_import_parity():
     torch.manual_seed(0)
     tmodel = TorchResNet18().eval()

@@ -12,6 +12,7 @@ from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
 from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
 
 
+@pytest.mark.slow
 def test_cond_unet_shapes_and_conditioning():
     cfg = UNet2DConditionConfig.tiny()
     model = UNet2DCondition(cfg)
@@ -26,6 +27,7 @@ def test_cond_unet_shapes_and_conditioning():
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5  # text actually conditions
 
 
+@pytest.mark.slow
 def test_cond_unet_gradient_checkpointing_equivalence():
     cfg = UNet2DConditionConfig.tiny()
     cfg_ckpt = UNet2DConditionConfig(**{**cfg.__dict__, "gradient_checkpointing": True})
@@ -45,6 +47,7 @@ def test_cond_unet_gradient_checkpointing_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     cfg = AutoencoderKLConfig.tiny()
     vae = AutoencoderKL(cfg)
@@ -61,6 +64,7 @@ def test_vae_roundtrip_shapes():
     assert np.abs(np.asarray(z) - np.asarray(z2)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_clip_text_parity_with_transformers():
     transformers = pytest.importorskip("transformers")
     import torch

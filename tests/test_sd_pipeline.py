@@ -98,6 +98,7 @@ def _make_sd_dataset(root):
     return img_dir
 
 
+@pytest.mark.slow
 def test_delete_sd_resume_from_latest(tmp_path):
     """Interrupted-run resume: train 1 step w/ checkpointing, then resume
     'latest' and confirm the step counter continues (``delete_sd.py:780-801``)."""
@@ -135,6 +136,7 @@ def test_delete_sd_resume_from_latest(tmp_path):
     assert steps == [2, 4, 6]
 
 
+@pytest.mark.slow
 def test_delete_sd_task_end_to_end(tmp_path):
     """Full DeleteSD graph (tiny models, zero conditioning, 2 steps)."""
     root = str(tmp_path)

@@ -12,6 +12,7 @@ from siss_tpu.diffusion import NoiseSchedule
 from siss_tpu.models import UNet2D, UNet2DConfig
 from siss_tpu.parallel import MeshConfig, make_mesh, microbatched_sharding, shard_params_fsdp
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+import pytest
 
 
 def _setup():
@@ -40,6 +41,7 @@ def _setup():
     return step, params, tx, batch
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     step, params, tx, batch = _setup()
     key = jax.random.PRNGKey(42)

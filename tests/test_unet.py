@@ -10,6 +10,7 @@ def _param_count(params):
     return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
 
 
+@pytest.mark.slow
 def test_mnist_unet_shapes():
     cfg = UNet2DConfig.mnist_tshirt()
     model = UNet2D(cfg)
@@ -43,6 +44,7 @@ def test_timestep_sensitivity():
     assert np.abs(np.asarray(o0) - np.asarray(o999)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_celeb_unet_param_count():
     """google/ddpm-celebahq-256 has 113.67M params; architecture parity check
     on a spatially-shrunk clone (param count is resolution-independent)."""
@@ -54,6 +56,7 @@ def test_celeb_unet_param_count():
     assert abs(n - 113_673_219) < 200_000, f"got {n:,}"
 
 
+@pytest.mark.slow
 def test_bf16_activation_dtype():
     cfg = UNet2DConfig.mnist_tshirt()
     model = UNet2D(cfg, dtype=jnp.bfloat16)
