@@ -77,6 +77,11 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # persistent compilation cache: repeated bench configs (and the FLOP
+    # anchor program) compile once per machine, not once per process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     n_chips = len(jax.devices())
     step, state, batch = build(args.batch_size, args.accum, args.image_size, args.remat)
 
@@ -84,14 +89,28 @@ def main():
     # compile + warmup
     lowered = step.lower(state, batch, key, {})
     compiled = lowered.compile()
-    try:
-        cost = compiled.cost_analysis()
-        step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
-        # XLA cost analysis counts a lax.scan body ONCE; the accumulation
-        # scan over microbatches dominates the step, so scale by trip count.
-        step_flops *= args.accum
-    except Exception:
-        step_flops = 0.0
+
+    # FLOPs are anchored to the CANONICAL program (accum=1, no remat): the
+    # algorithmic work of one SISS surgery step, which is also what the
+    # reference's torch step performs. Anchoring this way keeps the metric
+    # honest — rematerialisation or accumulation variants cannot inflate
+    # MFU or deflate the A100 denominator with recompute FLOPs.
+    def _cost_flops(c):
+        try:
+            cost = c.cost_analysis()
+            return float(cost.get("flops", 0.0)) if cost else 0.0
+        except Exception:
+            return 0.0
+
+    if args.accum == 1 and not args.remat:
+        flops_per_image = _cost_flops(compiled) / args.batch_size
+    else:
+        anchor_step, anchor_state, anchor_batch = build(
+            args.batch_size, 1, args.image_size, False)
+        anchor = anchor_step.lower(anchor_state, anchor_batch, key, {}).compile()
+        flops_per_image = _cost_flops(anchor) / args.batch_size
+        del anchor, anchor_state, anchor_batch
+    step_flops = flops_per_image * args.batch_size * args.accum
     state, _ = compiled(state, batch, key, {})
     jax.block_until_ready(state.params)
 
@@ -108,7 +127,6 @@ def main():
     ips_per_chip = imgs_per_step / dt / n_chips
 
     # A100 reference estimate (see module docstring / BASELINE.md)
-    flops_per_image = step_flops / imgs_per_step if step_flops else 0.0
     a100_ref_ips = (156e12 * 0.35) / flops_per_image if flops_per_image else 0.0
     vs_baseline = ips_per_chip / a100_ref_ips if a100_ref_ips else 0.0
 

@@ -56,6 +56,26 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+class Conv1x1(nn.Module):
+    """1×1 convolution as an explicit feature-axis matmul.
+
+    Keeps nn.Conv's parameter tree ([1,1,I,O] kernel + [O] bias, lecun
+    init) so HF conversion maps are unchanged, but emits a plain dot —
+    which XLA fuses without re-reading the (possibly concat-produced)
+    input multiple times in the transpose pass."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum("...i,io->...o", x, kernel[0, 0].astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     """GroupNorm → SiLU → Conv, time-emb add, GroupNorm → SiLU → Conv, +skip."""
 
@@ -88,7 +108,11 @@ class ResnetBlock2D(nn.Module):
             if self.use_conv_shortcut:
                 residual = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_shortcut")(residual)
             else:
-                residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(residual)
+                # 1×1 conv expressed as a feature matmul: identical math and
+                # param shape, but the dot lowering fuses far better than
+                # conv_general_dilated in the backward (the conv form's dW
+                # fusion was measured at 37 TF/s with 3× inflated HBM reads)
+                residual = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(residual)
 
         return (h + residual) / self.output_scale_factor
 
@@ -147,8 +171,10 @@ class Downsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.padding == 0:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            pad = ((0, 0), (0, 0))
+            # asymmetric (0,1) pad folded into the conv's own padding spec —
+            # a separate jnp.pad materialises an extra full-resolution copy
+            # (measured ~1.7 ms/step in the celeb-256 backward)
+            pad = ((0, 1), (0, 1))
         else:
             pad = ((self.padding, self.padding), (self.padding, self.padding))
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
@@ -163,5 +189,10 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # nearest 2× as broadcast+reshape: identical values to
+        # jax.image.resize(method="nearest"), but its transpose is a plain
+        # reshape+reduce instead of resize's scatter-add (which cost
+        # ~3.5 ms/step unfused in the celeb-256 backward)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+        x = x.reshape(B, H * 2, W * 2, C)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
