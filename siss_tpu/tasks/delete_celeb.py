@@ -87,6 +87,7 @@ class DeleteCeleb(Task):
             t_min=int(cfg.deletion.get("t_min", 999)),
             t_max=int(cfg.deletion.get("t_max", 1000)),
             use_ema=bool(cfg.ema.use_ema),
+            batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
         )
         step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
         state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)

@@ -176,6 +176,7 @@ class DeleteSD(Task):
             use_ema=bool(cfg.use_ema),
             noise_offset=float(cfg.get("noise_offset") or 0.0),
             input_perturbation=float(cfg.get("input_perturbation") or 0.0),
+            batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
         )
         latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
 

@@ -75,6 +75,7 @@ class DeleteTShirt(Task):
             t_min=int(cfg.deletion.get("t_min", 0)),
             t_max=int(cfg.deletion.get("t_max", schedule.num_train_timesteps)),
             use_ema=bool(cfg.ema.use_ema),
+            batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
         )
         step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
         state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)

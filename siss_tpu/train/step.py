@@ -105,6 +105,12 @@ class DeletionStepConfig:
     # Fused Pallas epilogue for the SISS mixture loss (one HBM pass for all
     # per-sample reductions + custom-VJP backward; see ops/siss_pallas.py).
     fused_siss: bool = True
+    # EXPERIMENTAL: batch the two gradient pulls of shared-forward losses
+    # into one vmapped backward. Equivalence-tested, but measured WORSE on
+    # v5e for the celeb-256 conv UNet (the size-2 vmap axis breaks conv
+    # tiling: 27.8 vs 49.9 img/s at bs 8, and OOM at bs 16) — keep False
+    # unless profiling shows otherwise on your model.
+    batched_dual_backward: bool = False
 
     def __post_init__(self):
         from siss_tpu.losses.deletion import LOSS_FUNCTIONS
@@ -127,6 +133,22 @@ class DeletionStepConfig:
     @property
     def is_shared_forward(self) -> bool:
         return self.loss_fn in SHARED_FORWARD_LOSSES
+
+
+def _dual_pullback(pullback):
+    """Both gradient pulls of a (loss_x, loss_a) vjp in ONE batched backward.
+
+    The two cotangent chains differ only in their scalar seeds, so vmapping
+    the pullback over the seed pair in principle lets XLA share residual
+    reads between the chains. In practice XLA:TPU tiles the size-2 vmap
+    axis poorly for convolutions and peak memory doubles — see the
+    ``batched_dual_backward`` knob note for measurements. Kept as an
+    equivalence-tested option for models where it profiles favourably."""
+    seeds = (jnp.asarray([1.0, 0.0], jnp.float32), jnp.asarray([0.0, 1.0], jnp.float32))
+    (g_both,) = jax.vmap(lambda ct: pullback(ct))(seeds)
+    g_x = jax.tree.map(lambda g: g[0], g_both)
+    g_a = jax.tree.map(lambda g: g[1], g_both)
+    return g_x, g_a
 
 
 def build_deletion_train_step(
@@ -249,10 +271,13 @@ def build_deletion_train_step(
                 return (wlx / mb, wla / mb), stats
 
             _, pullback, stats = jax.vjp(two_terms, params, has_aux=True)
-            one = jnp.ones((), jnp.float32)
-            zero = jnp.zeros((), jnp.float32)
-            (g_x,) = pullback((one, zero))
-            (g_a,) = pullback((zero, one))
+            if cfg.batched_dual_backward:
+                g_x, g_a = _dual_pullback(pullback)
+            else:
+                one = jnp.ones((), jnp.float32)
+                zero = jnp.zeros((), jnp.float32)
+                (g_x,) = pullback((one, zero))
+                (g_a,) = pullback((zero, one))
             return g_x, g_a, stats
 
     elif cfg.is_shared_forward:
@@ -265,10 +290,13 @@ def build_deletion_train_step(
             # ONE forward, TWO backward pulls over the shared graph
             # (= retain_graph=True in the reference).
             _, pullback, stats = jax.vjp(two_terms, params, has_aux=True)
-            one = jnp.ones((), jnp.float32)
-            zero = jnp.zeros((), jnp.float32)
-            (g_x,) = pullback((one, zero))
-            (g_a,) = pullback((zero, one))
+            if cfg.batched_dual_backward:
+                g_x, g_a = _dual_pullback(pullback)
+            else:
+                one = jnp.ones((), jnp.float32)
+                zero = jnp.zeros((), jnp.float32)
+                (g_x,) = pullback((one, zero))
+                (g_a,) = pullback((zero, one))
             return g_x, g_a, stats
 
     elif cfg.loss_fn in ("double_forward_with_neg_del", "erasediff"):

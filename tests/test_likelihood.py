@@ -58,6 +58,7 @@ def test_gaussian_nll_matches_closed_form(method):
     np.testing.assert_allclose(np.asarray(bpd), expected_bpd, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_rk45_and_rk4_integrators_agree_on_nll():
     """Same RHS, two integrators → bpd must agree tightly (isolates
     integrator correctness from score-discretization semantics)."""

@@ -100,3 +100,30 @@ def test_tracker_line_series(tmp_path):
     assert rec["ys"][1] == [0.5, 1.5, 2.5]
     assert rec["keys"] == [0, 1]
     assert rec["_step"] == 16
+
+
+def test_batched_dual_backward_equivalence():
+    """vmapped dual pullback == sequential two pulls (same math; tiny
+    float32 reduction-order differences allowed)."""
+    from siss_tpu.diffusion import NoiseSchedule
+
+    sched = NoiseSchedule.create(100, "linear")
+    params = {"w": jnp.asarray(0.5), "b": jnp.asarray(0.1)}
+    tx = optax.sgd(1.0)
+    rng = np.random.default_rng(5)
+    batch = _batch(rng, 2)
+    key = jax.random.PRNGKey(11)
+    outs = []
+    for dual in (False, True):
+        cfg = DeletionStepConfig(
+            loss_fn="importance_sampling_with_mixture", loss_params=(("lambd", 0.5),),
+            scaling_norm=5.0, grad_accum_steps=2, t_min=0, t_max=100,
+            fused_siss=False, batched_dual_backward=dual)
+        step = jax.jit(build_deletion_train_step(linear_apply, sched, tx, cfg))
+        state = TrainState.create(params, tx)
+        new_state, metrics = step(state, batch, key, {})
+        outs.append((new_state, metrics))
+    (s0, m0), (s1, m1) = outs
+    np.testing.assert_allclose(np.asarray(s0.params["w"]), np.asarray(s1.params["w"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m0["gradient/norm_loss_a"]),
+                               float(m1["gradient/norm_loss_a"]), rtol=1e-5)

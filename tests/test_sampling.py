@@ -8,6 +8,7 @@ import numpy as np
 from siss_tpu.diffusion import NoiseSchedule
 from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddim, sample_ddim_cfg, sample_ddpm
 from siss_tpu.evaluate import Evaluator
+import pytest
 
 
 def _gaussian_oracle_eps(mu, std):
@@ -47,6 +48,7 @@ def test_ddim_sampler_matches_gaussian_target():
     assert abs(samples.std() - std) < 0.08
 
 
+@pytest.mark.slow
 def test_denoise_from_t_recovers_mean():
     mu, std = 0.5, 0.05
     sched = NoiseSchedule.create(1000, "linear", clip_sample=False)
@@ -78,6 +80,7 @@ def test_cfg_noise_norm_tracking():
     np.testing.assert_allclose(np.asarray(norms["text_norm"]), 8.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_evaluator_surface():
     sched = NoiseSchedule.create(1000, "linear")
     mu, std = 0.0, 0.1

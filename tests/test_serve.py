@@ -38,11 +38,13 @@ def server(tmp_path_factory):
     srv.shutdown()
 
 
+@pytest.mark.slow
 def test_healthz(server):
     h = json.loads(urllib.request.urlopen(f"{server}/healthz").read())
     assert h["ok"] and h["model"] == "tiny_serve"
 
 
+@pytest.mark.slow
 def test_sample_returns_png_and_caches_compile(server):
     req = urllib.request.Request(
         f"{server}/sample",
@@ -54,6 +56,7 @@ def test_sample_returns_png_and_caches_compile(server):
     assert [1, 4, "dpm"] in h["compiled"]
 
 
+@pytest.mark.slow
 def test_bad_input_is_400(server):
     req = urllib.request.Request(f"{server}/sample", data=json.dumps({"n": "x"}).encode(),
                                  headers={"Content-Type": "application/json"})
