@@ -70,10 +70,15 @@ def main(argv=None):
                         help="capture a jax.profiler trace under output_dir/profile")
     args = parser.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persistent XLA compilation cache: repeated runs of the same config
+    # (sweeps, resume, eval re-runs) skip the multi-minute first compile.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SISS_COMPILE_CACHE", "/tmp/siss_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from siss_tpu.parallel.distributed import maybe_initialize_distributed
 

@@ -18,6 +18,11 @@ import jax  # noqa: E402
 # via jax.config (which beats env vars); put CPU back for the test suite.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compilation cache: the suite is jit-compile-dominated, and the
+# programs are deterministic — repeat runs (the common case for a CI gate)
+# skip most XLA compilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
