@@ -38,7 +38,7 @@ def capture(args) -> str:
     return args.out
 
 
-def summarize(trace_dir: str, steps: int, top: int = 25) -> None:
+def summarize(trace_dir: str, steps: int | None, top: int = 25) -> None:
     path = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(path) as f:
         data = json.load(f)
@@ -50,6 +50,16 @@ def summarize(trace_dir: str, steps: int, top: int = 25) -> None:
                 pids[e["pid"]] = e["args"].get("name", "")
             if e.get("name") == "thread_name":
                 tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    if steps is None:
+        # infer the captured step count from the device 'Steps' track;
+        # auxiliary micro-programs (key folds, transfers) also appear there,
+        # so count only entries comparable to the longest one
+        durs = [e["dur"] for e in events
+                if e.get("ph") == "X" and "dur" in e
+                and tids.get((e["pid"], e["tid"])) == "Steps"
+                and "TPU" in pids.get(e["pid"], "")]
+        steps = max(1, sum(1 for d in durs if d > 0.1 * max(durs))) if durs else 1
+        print(f"(inferred {steps} steps from the trace)")
     cat = collections.Counter()
     ops = collections.defaultdict(lambda: [0.0, 0, 0])
     for e in events:
@@ -86,8 +96,10 @@ def main():
     p.add_argument("--summarize", default=None,
                    help="skip capture; summarize an existing trace dir")
     args = p.parse_args()
-    trace_dir = args.summarize or capture(args)
-    summarize(trace_dir, args.steps)
+    if args.summarize:
+        summarize(args.summarize, None)  # step count inferred from the trace
+    else:
+        summarize(capture(args), args.steps)
 
 
 if __name__ == "__main__":

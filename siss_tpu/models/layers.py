@@ -72,7 +72,9 @@ class Conv1x1(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jnp.einsum("...i,io->...o", x, kernel[0, 0].astype(self.dtype))
+        # promote input like nn.Conv(dtype=...) does, so the swap is a true
+        # drop-in (same compute dtype and output dtype for any input dtype)
+        y = jnp.einsum("...i,io->...o", x.astype(self.dtype), kernel[0, 0].astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 

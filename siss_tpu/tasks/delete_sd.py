@@ -273,6 +273,7 @@ class DeleteSD(Task):
                         pe, uncond.reshape(1, -1, embeds_dim),
                         jax.random.PRNGKey(int(cfg.seed) + b),
                         height=int(cfg.resolution), width=int(cfg.resolution),
+                        num_inference_steps=int(cfg.get("num_inference_steps", 50)),
                         guidance_scale=float(cfg.get("guidance_scale", 7.5)),
                         track_noise_norm=bool(metrics_cfg.get("noise_norm")),
                         params=eval_params,
@@ -322,6 +323,11 @@ class DeleteSD(Task):
 
         superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
         decay = cfg.deletion.get("superfactor_decay")
+        if superfactor is not None and decay and global_step:
+            # fast-forward the per-step decay on resume so the weighting
+            # matches an uninterrupted run (SD decays once per optimizer
+            # step, ``delete_sd.py:1190-1197``)
+            superfactor = float(superfactor) * float(decay) ** global_step
         guard = PreemptionGuard().install()
         t_last = time.time()
         while global_step < training_steps:

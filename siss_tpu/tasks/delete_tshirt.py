@@ -195,7 +195,12 @@ class DeleteTShirt(Task):
             rpath = str(cfg.resume_from_checkpoint)
             state = ckpt.restore_item("latest" if rpath == "latest" else rpath, "state", state)
             start_step = int(state.step)
-            for _ in range(start_step * accum):
+            # fast-forward the data stream to the same sample offset: each
+            # next(stream) yields one FULL [accum, ...] batch, so skip one
+            # draw per completed optimizer step (skipping start_step*accum
+            # would over-advance by accum x and exhaust the finite forget
+            # sampler mid-run)
+            for _ in range(start_step):
                 next(stream)
             for _ in range(start_step):
                 key, _ = jax.random.split(key)

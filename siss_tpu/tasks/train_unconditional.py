@@ -92,8 +92,10 @@ class TrainUnconditional(Task):
             solver=str(cfg.pipeline.get("solver", "ddpm")),
         )
 
+        # cfg.train_batch_size is GLOBAL; each process loads only its slice
+        # (same contract as the deletion tasks)
         loader = BatchLoader(dataset, InfiniteSampler(len(dataset), rank=jax.process_index(), num_replicas=jax.process_count(), seed=int(cfg.random_seed)),
-                             int(cfg.train_batch_size))
+                             process_batch_slice(int(cfg.train_batch_size)))
         it = iter(loader)
         guard = PreemptionGuard().install()
         t_last = time.time()
