@@ -12,6 +12,11 @@ A100 estimate assumes the reference's fp32 (mixed_precision: null) torch
 train step sustains 35% of A100 TF32 peak (156 TFLOP/s) on the same
 step FLOPs. Both numerator FLOPs and the estimate come from XLA's own
 cost analysis of the compiled step, so the comparison is workload-exact.
+
+``--workload sd`` benches the ``delete_sd`` latent-space step instead.
+NOTE: full SD fp32 training state (~17.2G: params + Adam + the surgery's
+two gradient trees) exceeds one v5e's 15.75G HBM (measured OOM at 21.4G);
+run it on a ≥2-chip slice where the ``fsdp`` axis shards the state.
 """
 
 from __future__ import annotations
@@ -24,6 +29,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+
+def build_sd(batch_size: int, accum: int, remat: bool):
+    """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
+    the conditional UNet over 64×64×4 latents with 77-token text
+    conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
+    (the reference encodes per step too, but the UNet dominates; latents
+    are fed directly so the number isolates the unlearning step)."""
+    from siss_tpu.diffusion.sd_pipeline import sd_noise_schedule
+    from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
+    from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+
+    cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat)
+    model = UNet2DCondition(cfg, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def eps_apply(p, x, t, cond):
+        return model.apply({"params": p}, x.astype(jnp.bfloat16), t, cond)
+
+    schedule = sd_noise_schedule()
+    tx = optax.adamw(1e-5, weight_decay=1e-2)
+    step_cfg = DeletionStepConfig(
+        loss_fn="importance_sampling_with_mixture",
+        loss_params=(("lambd", 0.5),),
+        scaling_norm=750.0,
+        grad_accum_steps=accum,
+        t_min=999, t_max=1000,
+    )
+    step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
+    state = TrainState.create(params, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "all": jnp.asarray(rng.normal(size=(accum, batch_size, 64, 64, 4)), jnp.float32),
+        "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, 64, 64, 4)), jnp.float32),
+        "conditioning": jnp.asarray(rng.normal(size=(accum, batch_size, 77, 768)), jnp.float32),
+    }
+    return step, state, batch
 
 
 def build(batch_size: int, accum: int, image_size: int, remat: bool):
@@ -71,6 +114,9 @@ def main():
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--workload", choices=("celeb", "sd"), default="celeb",
+                   help="celeb: 256px pixel-space DDPM (headline); sd: SD-1.x "
+                        "latent-space conditional UNet (delete_sd workload)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -83,7 +129,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     n_chips = len(jax.devices())
-    step, state, batch = build(args.batch_size, args.accum, args.image_size, args.remat)
+    if args.workload == "sd":
+        step, state, batch = build_sd(args.batch_size, args.accum, args.remat)
+    else:
+        step, state, batch = build(args.batch_size, args.accum, args.image_size, args.remat)
 
     key = jax.random.PRNGKey(0)
     # compile + warmup
@@ -105,8 +154,11 @@ def main():
     if args.accum == 1 and not args.remat:
         flops_per_image = _cost_flops(compiled) / args.batch_size
     else:
-        anchor_step, anchor_state, anchor_batch = build(
-            args.batch_size, 1, args.image_size, False)
+        if args.workload == "sd":
+            anchor_step, anchor_state, anchor_batch = build_sd(args.batch_size, 1, False)
+        else:
+            anchor_step, anchor_state, anchor_batch = build(
+                args.batch_size, 1, args.image_size, False)
         anchor = anchor_step.lower(anchor_state, anchor_batch, key, {}).compile()
         flops_per_image = _cost_flops(anchor) / args.batch_size
         del anchor, anchor_state, anchor_batch
@@ -133,8 +185,10 @@ def main():
     achieved_flops = step_flops / dt if step_flops else 0.0
     mfu_v5e = achieved_flops / 197e12
 
+    metric_name = ("siss_sd_latent_train_step_throughput" if args.workload == "sd"
+                   else "siss_celeb256_train_step_throughput")
     print(json.dumps({
-        "metric": "siss_celeb256_train_step_throughput",
+        "metric": metric_name,
         "value": round(ips_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),

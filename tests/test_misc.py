@@ -113,3 +113,16 @@ def test_checkpoint_bundle_is_atomic(tmp_path):
     assert mgr.latest().endswith("checkpoint-5")
     mgr.save_bundle(9, {"unet": state.params})
     assert sorted(os.listdir(tmp_path)) == ["checkpoint-5", "checkpoint-9"]
+
+
+@pytest.mark.slow
+def test_bench_build_functions_run_one_step():
+    """bench.py's builders must stay callable as the models/step evolve
+    (the driver runs bench.py unattended on the TPU; a signature break
+    would surface only there). Tiny shapes, one CPU step each."""
+    import bench
+
+    step, state, batch = bench.build(2, 1, 32, False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["gradient/scaling_factor"]))
