@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 
-def build_sd(batch_size: int, accum: int, remat: bool):
+def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = False):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -49,13 +49,22 @@ def build_sd(batch_size: int, accum: int, remat: bool):
         return model.apply({"params": p}, x.astype(jnp.bfloat16), t, cond)
 
     schedule = sd_noise_schedule()
-    tx = optax.adamw(1e-5, weight_decay=1e-2)
+    # memory-efficient single-chip mode: bf16 Adam first moment + bf16
+    # gradient accumulators cut the static training state from ~17.2G
+    # (OOM on one v5e) to ~12G (see BASELINE.md)
+    tx = optax.adamw(1e-5, weight_decay=1e-2,
+                     mu_dtype=jnp.bfloat16 if memory_efficient else None)
+    if memory_efficient:
+        from siss_tpu.train.optim import cast_nu_dtype
+
+        tx = cast_nu_dtype(tx, jnp.bfloat16)
     step_cfg = DeletionStepConfig(
         loss_fn="importance_sampling_with_mixture",
         loss_params=(("lambd", 0.5),),
         scaling_norm=750.0,
         grad_accum_steps=accum,
         t_min=999, t_max=1000,
+        grad_accum_dtype="bfloat16" if memory_efficient else "float32",
     )
     step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
     state = TrainState.create(params, tx)
@@ -117,6 +126,9 @@ def main():
     p.add_argument("--workload", choices=("celeb", "sd"), default="celeb",
                    help="celeb: 256px pixel-space DDPM (headline); sd: SD-1.x "
                         "latent-space conditional UNet (delete_sd workload)")
+    p.add_argument("--memory-efficient", action="store_true",
+                   help="sd only: bf16 Adam mu + bf16 grad accumulators so "
+                        "the full SD state fits one v5e (~12G vs ~17.2G)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -129,21 +141,16 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     n_chips = len(jax.devices())
-    if args.workload == "sd":
-        step, state, batch = build_sd(args.batch_size, args.accum, args.remat)
-    else:
-        step, state, batch = build(args.batch_size, args.accum, args.image_size, args.remat)
-
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    lowered = step.lower(state, batch, key, {})
-    compiled = lowered.compile()
 
     # FLOPs are anchored to the CANONICAL program (accum=1, no remat): the
     # algorithmic work of one SISS surgery step, which is also what the
     # reference's torch step performs. Anchoring this way keeps the metric
     # honest — rematerialisation or accumulation variants cannot inflate
-    # MFU or deflate the A100 denominator with recompute FLOPs.
+    # MFU or deflate the A100 denominator with recompute FLOPs. The anchor
+    # is built, costed, and FREED before the benched step is built, so the
+    # two full model states never coexist in HBM (matters for SD, whose
+    # state fills most of one chip).
     def _cost_flops(c):
         try:
             cost = c.cost_analysis()
@@ -151,17 +158,27 @@ def main():
         except Exception:
             return 0.0
 
-    if args.accum == 1 and not args.remat:
-        flops_per_image = _cost_flops(compiled) / args.batch_size
-    else:
+    def _build(accum, remat):
         if args.workload == "sd":
-            anchor_step, anchor_state, anchor_batch = build_sd(args.batch_size, 1, False)
-        else:
-            anchor_step, anchor_state, anchor_batch = build(
-                args.batch_size, 1, args.image_size, False)
+            return build_sd(args.batch_size, accum, remat, args.memory_efficient)
+        return build(args.batch_size, accum, args.image_size, remat)
+
+    flops_per_image = None
+    if args.accum != 1 or args.remat:
+        anchor_step, anchor_state, anchor_batch = _build(1, False)
+        # lower-only (no device compile): cost analysis works on the
+        # unoptimized module, and lowering never allocates device buffers
+        # beyond the inputs we just built
         anchor = anchor_step.lower(anchor_state, anchor_batch, key, {}).compile()
         flops_per_image = _cost_flops(anchor) / args.batch_size
-        del anchor, anchor_state, anchor_batch
+        del anchor, anchor_step, anchor_state, anchor_batch
+
+    step, state, batch = _build(args.accum, args.remat)
+    # compile + warmup
+    lowered = step.lower(state, batch, key, {})
+    compiled = lowered.compile()
+    if flops_per_image is None:
+        flops_per_image = _cost_flops(compiled) / args.batch_size
     step_flops = flops_per_image * args.batch_size * args.accum
     state, _ = compiled(state, batch, key, {})
     jax.block_until_ready(state.params)

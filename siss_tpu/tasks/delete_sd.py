@@ -160,6 +160,8 @@ class DeleteSD(Task):
             "_target_": "torch.optim.AdamW", "lr": float(cfg.learning_rate),
             "betas": [float(cfg.adam_beta1), float(cfg.adam_beta2)],
             "weight_decay": float(cfg.adam_weight_decay), "eps": float(cfg.adam_epsilon),
+            "mu_dtype": cfg.get("adam_mu_dtype"),
+            "nu_dtype": cfg.get("adam_nu_dtype"),
         })
         from siss_tpu.train.optim import build_optimizer
 
@@ -177,6 +179,7 @@ class DeleteSD(Task):
             noise_offset=float(cfg.get("noise_offset") or 0.0),
             input_perturbation=float(cfg.get("input_perturbation") or 0.0),
             batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
+            grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
         )
         latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
 

@@ -32,6 +32,35 @@ def build_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
     return sched
 
 
+def cast_nu_dtype(tx: optax.GradientTransformation, nu_dtype) -> optax.GradientTransformation:
+    """Store Adam's second moment in ``nu_dtype`` (e.g. bfloat16, whose
+    exponent range matches fp32 — only mantissa precision is traded).
+    optax exposes ``mu_dtype`` natively but not ``nu_dtype``; this wrapper
+    casts ν down after every update. Part of the single-chip SD
+    memory-efficient mode (saves another 1.7G for SD-1.x; BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    nu_dtype = jnp.dtype(nu_dtype)
+
+    def _cast(state):
+        def down(s):
+            if hasattr(s, "nu"):
+                return s._replace(nu=jax.tree.map(lambda x: x.astype(nu_dtype), s.nu))
+            return s
+        return jax.tree_util.tree_map(down, state,
+                                      is_leaf=lambda s: hasattr(s, "nu"))
+
+    def init(params):
+        return _cast(tx.init(params))
+
+    def update(updates, state, params=None):
+        updates, state = tx.update(updates, state, params)
+        return updates, _cast(state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int = 0,
                     total_steps: Optional[int] = None) -> optax.GradientTransformation:
     """``cfg``: config node with keys mirroring torch.optim.AdamW
@@ -41,12 +70,23 @@ def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int 
     betas = cfg.get("betas", [0.9, 0.999])
     wd = float(cfg.get("weight_decay", 0.0))
     eps = float(cfg.get("eps", cfg.get("adam_epsilon", 1e-8)))
+    # mu_dtype=bfloat16 halves the first-moment memory (part of the
+    # single-chip SD memory-efficient mode; see BASELINE.md)
+    import jax.numpy as jnp
+
+    mu_dtype = cfg.get("mu_dtype", None)
+    mu_dtype = jnp.dtype(str(mu_dtype)) if mu_dtype else None
+    nu_dtype = cfg.get("nu_dtype", None)
     sched = build_lr_schedule(lr_scheduler, lr, warmup_steps, total_steps)
     name = target.rsplit(".", 1)[-1].lower()
     if name in ("adamw",):
-        return optax.adamw(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps, weight_decay=wd)
+        tx = optax.adamw(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps,
+                         weight_decay=wd, mu_dtype=mu_dtype)
+        return cast_nu_dtype(tx, str(nu_dtype)) if nu_dtype else tx
     if name in ("adam",):
-        return optax.adam(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps)
+        tx = optax.adam(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps,
+                        mu_dtype=mu_dtype)
+        return cast_nu_dtype(tx, str(nu_dtype)) if nu_dtype else tx
     if name in ("sgd",):
         return optax.sgd(sched, momentum=float(cfg.get("momentum", 0.0)))
     raise ValueError(f"Unsupported optimizer target {target!r}")

@@ -111,6 +111,12 @@ class DeletionStepConfig:
     # tiling: 27.8 vs 49.9 img/s at bs 8, and OOM at bs 16) — keep False
     # unless profiling shows otherwise on your model.
     batched_dual_backward: bool = False
+    # Dtype of the two gradient accumulator trees. float32 matches the
+    # reference exactly; bfloat16 halves the surgery's largest memory cost
+    # (two full-model trees — 6.9G for SD-1.x) at a small accumulation-
+    # precision cost, and is what lets single-chip SD fit in 16G HBM
+    # together with adam_mu_dtype=bfloat16 (see BASELINE.md).
+    grad_accum_dtype: str = "float32"
 
     def __post_init__(self):
         from siss_tpu.losses.deletion import LOSS_FUNCTIONS
@@ -348,7 +354,8 @@ def build_deletion_train_step(
         A = keep_all.shape[0]
         keys = jax.random.split(key, A)
 
-        zeros_like_params = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        acc_dtype = jnp.dtype(cfg.grad_accum_dtype)
+        zeros_like_params = jax.tree.map(lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
 
         # Dyn scalars with a leading [A] axis vary per microbatch and ride
         # the scan (the reference decays ``superfactor`` inside the
@@ -363,9 +370,9 @@ def build_deletion_train_step(
             keep, forget, cond, k, dyn_mb = xs
             g_x, g_a, stats = micro_grads(state.params, keep, forget, cond, k,
                                           {**dyn_const, **dyn_mb})
-            g_x_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_x_acc, g_x)
+            g_x_acc = jax.tree.map(lambda a, b: a + b.astype(acc_dtype), g_x_acc, g_x)
             if g_a is not None:
-                g_a_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_a_acc, g_a)
+                g_a_acc = jax.tree.map(lambda a, b: a + b.astype(acc_dtype), g_a_acc, g_a)
             return (g_x_acc, g_a_acc), stats
 
         xs = (keep_all, forget_all, cond_all, keys, dyn_scan)

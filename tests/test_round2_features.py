@@ -127,3 +127,60 @@ def test_batched_dual_backward_equivalence():
     np.testing.assert_allclose(np.asarray(s0.params["w"]), np.asarray(s1.params["w"]), rtol=1e-5)
     np.testing.assert_allclose(float(m0["gradient/norm_loss_a"]),
                                float(m1["gradient/norm_loss_a"]), rtol=1e-5)
+
+
+def test_grad_accum_dtype_bf16_close_to_fp32():
+    """bfloat16 accumulators track the fp32 reference update closely on a
+    well-conditioned tiny problem (the memory-efficient SD mode)."""
+    from siss_tpu.diffusion import NoiseSchedule
+
+    sched = NoiseSchedule.create(100, "linear")
+    params = {"w": jnp.asarray(0.5), "b": jnp.asarray(0.1)}
+    tx = optax.sgd(1.0)
+    rng = np.random.default_rng(9)
+    batch = _batch(rng, 4)
+    key = jax.random.PRNGKey(2)
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = DeletionStepConfig(loss_fn="importance_sampling_with_mixture",
+                                 loss_params=(("lambd", 0.5),), scaling_norm=5.0,
+                                 grad_accum_steps=4, t_min=0, t_max=100,
+                                 fused_siss=False, grad_accum_dtype=dt)
+        step = jax.jit(build_deletion_train_step(linear_apply, sched, tx, cfg))
+        state = TrainState.create(params, tx)
+        new_state, _ = step(state, batch, key, {})
+        outs[dt] = float(new_state.params["w"])
+    # bf16 has ~3 decimal digits; accumulation over 4 microbatches stays
+    # within ~1% of the fp32 reference here
+    np.testing.assert_allclose(outs["bfloat16"], outs["float32"], rtol=2e-2)
+
+
+def test_optimizer_builder_mu_dtype():
+    from siss_tpu.config import Config
+    from siss_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(Config({"_target_": "torch.optim.AdamW", "lr": 1e-4,
+                                 "mu_dtype": "bfloat16"}))
+    state = tx.init({"w": jnp.zeros((4,), jnp.float32)})
+    # optax adamw state: (ScaleByAdamState, ...) — mu must be bf16, nu fp32
+    adam_state = state[0]
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.float32
+
+
+def test_optimizer_builder_nu_dtype():
+    from siss_tpu.config import Config
+    from siss_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(Config({"_target_": "torch.optim.AdamW", "lr": 1e-4,
+                                 "mu_dtype": "bfloat16", "nu_dtype": "bfloat16"}))
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    state = tx.init(params)
+    adam_state = state[0]
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.bfloat16
+    # update keeps the dtypes and produces finite params
+    g = {"w": jnp.full((4,), 0.1, jnp.float32)}
+    u, state = tx.update(g, state, params)
+    assert state[0].nu["w"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(optax.apply_updates(params, u)["w"])).all()
