@@ -15,8 +15,11 @@ cost analysis of the compiled step, so the comparison is workload-exact.
 
 ``--workload sd`` benches the ``delete_sd`` latent-space step instead.
 NOTE: full SD fp32 training state (~17.2G: params + Adam + the surgery's
-two gradient trees) exceeds one v5e's 15.75G HBM (measured OOM at 21.4G);
-run it on a ≥2-chip slice where the ``fsdp`` axis shards the state.
+two gradient trees) exceeds one v5e's 15.75G HBM (measured OOM at 21.4G).
+Pass ``--memory-efficient`` (bf16 Adam moments + bf16 grad accumulators,
+~10.3G) to fit one chip; for reference-exact fp32 state use the
+``delete_sd`` TASK on a ≥2-chip slice, whose ``fsdp`` mesh axis shards
+the state — this bench itself builds an unsharded single-device step.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ import numpy as np
 import optax
 
 
-def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = False):
+def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = False,
+             variant: str = "sd_v1"):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -41,7 +45,11 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
     from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 
-    cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat)
+    if variant == "tiny":  # CPU smoke tests
+        cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
+                                       "gradient_checkpointing": remat})
+    else:
+        cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat)
     model = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -49,9 +57,9 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
         return model.apply({"params": p}, x.astype(jnp.bfloat16), t, cond)
 
     schedule = sd_noise_schedule()
-    # memory-efficient single-chip mode: bf16 Adam first moment + bf16
+    # memory-efficient single-chip mode: bf16 Adam moments + bf16
     # gradient accumulators cut the static training state from ~17.2G
-    # (OOM on one v5e) to ~12G (see BASELINE.md)
+    # (OOM on one v5e) to ~10.3G (see BASELINE.md)
     tx = optax.adamw(1e-5, weight_decay=1e-2,
                      mu_dtype=jnp.bfloat16 if memory_efficient else None)
     if memory_efficient:
@@ -70,10 +78,11 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     state = TrainState.create(params, tx)
 
     rng = np.random.default_rng(0)
+    hw, ch, ctx = cfg.sample_size, cfg.in_channels, cfg.cross_attention_dim
     batch = {
-        "all": jnp.asarray(rng.normal(size=(accum, batch_size, 64, 64, 4)), jnp.float32),
-        "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, 64, 64, 4)), jnp.float32),
-        "conditioning": jnp.asarray(rng.normal(size=(accum, batch_size, 77, 768)), jnp.float32),
+        "all": jnp.asarray(rng.normal(size=(accum, batch_size, hw, hw, ch)), jnp.float32),
+        "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, hw, hw, ch)), jnp.float32),
+        "conditioning": jnp.asarray(rng.normal(size=(accum, batch_size, 77, ctx)), jnp.float32),
     }
     return step, state, batch
 
@@ -127,8 +136,8 @@ def main():
                    help="celeb: 256px pixel-space DDPM (headline); sd: SD-1.x "
                         "latent-space conditional UNet (delete_sd workload)")
     p.add_argument("--memory-efficient", action="store_true",
-                   help="sd only: bf16 Adam mu + bf16 grad accumulators so "
-                        "the full SD state fits one v5e (~12G vs ~17.2G)")
+                   help="sd only: bf16 Adam moments + bf16 grad accumulators "
+                        "so the full SD state fits one v5e (~10.3G vs ~17.2G)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -166,9 +175,9 @@ def main():
     flops_per_image = None
     if args.accum != 1 or args.remat:
         anchor_step, anchor_state, anchor_batch = _build(1, False)
-        # lower-only (no device compile): cost analysis works on the
-        # unoptimized module, and lowering never allocates device buffers
-        # beyond the inputs we just built
+        # the anchor DOES device-compile (cost analysis needs the compiled
+        # executable), but its accum=1/no-remat program is the smallest
+        # variant and everything is deleted before the benched build below
         anchor = anchor_step.lower(anchor_state, anchor_batch, key, {}).compile()
         flops_per_image = _cost_flops(anchor) / args.batch_size
         del anchor, anchor_step, anchor_state, anchor_batch

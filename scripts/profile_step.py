@@ -91,14 +91,18 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--image-size", type=int, default=256)
-    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--steps", type=int, default=None,
+                   help="capture: number of steps (default 3); summarize: "
+                        "override the trace-inferred step count")
     p.add_argument("--out", default="/tmp/siss_trace")
     p.add_argument("--summarize", default=None,
                    help="skip capture; summarize an existing trace dir")
     args = p.parse_args()
     if args.summarize:
-        summarize(args.summarize, None)  # step count inferred from the trace
+        # steps inferred from the trace unless given explicitly
+        summarize(args.summarize, args.steps)
     else:
+        args.steps = args.steps or 3
         summarize(capture(args), args.steps)
 
 

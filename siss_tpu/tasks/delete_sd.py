@@ -323,6 +323,16 @@ class DeleteSD(Task):
             state = ckpt.restore_item(path, "state", state)
             global_step = int(state.step)
             img_count = global_step * bs * accum
+            # fast-forward data streams and the PRNG chain so the resumed
+            # run consumes the same samples/noise an uninterrupted run
+            # would at this step (each step draws `accum` microbatches
+            # from each iterator and splits the key once)
+            for _ in range(global_step * accum):
+                next(keep_it)
+                next(forget_it)
+            for _ in range(global_step):
+                key, _ = jax.random.split(key)
+            print(f"[delete_sd] resumed from step {global_step}")
 
         superfactor = cfg.deletion.loss_params.get("superfactor") if cfg.deletion.get("loss_params") else None
         decay = cfg.deletion.get("superfactor_decay")

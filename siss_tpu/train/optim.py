@@ -88,5 +88,9 @@ def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int 
                         mu_dtype=mu_dtype)
         return cast_nu_dtype(tx, str(nu_dtype)) if nu_dtype else tx
     if name in ("sgd",):
+        if mu_dtype or nu_dtype:
+            raise ValueError("mu_dtype/nu_dtype are Adam-state options; "
+                             "they have no effect with SGD — remove them "
+                             "or switch the optimizer target")
         return optax.sgd(sched, momentum=float(cfg.get("momentum", 0.0)))
     raise ValueError(f"Unsupported optimizer target {target!r}")

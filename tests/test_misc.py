@@ -126,3 +126,9 @@ def test_bench_build_functions_run_one_step():
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["gradient/scaling_factor"]))
+
+    step, state, batch = bench.build_sd(2, 2, False, memory_efficient=True,
+                                        variant="tiny")
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["gradient/scaling_factor"]))
