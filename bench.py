@@ -131,6 +131,13 @@ def main():
     p.add_argument("--accum", type=int, default=4)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--opt-steps-per-call", type=int, default=4,
+                   help="fold K optimizer steps into one dispatched program "
+                        "(lax.scan). Each step is the SAME workload (same "
+                        "effective batch, same math); only the host round-"
+                        "trip is amortized — the ~67 ms tunnel dispatch "
+                        "otherwise costs ~5%% at accum 4. 1 = one step per "
+                        "dispatch.")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--workload", choices=("celeb", "sd"), default="celeb",
                    help="celeb: 256px pixel-space DDPM (headline); sd: SD-1.x "
@@ -172,8 +179,9 @@ def main():
             return build_sd(args.batch_size, accum, remat, args.memory_efficient)
         return build(args.batch_size, accum, args.image_size, remat)
 
+    K = max(int(args.opt_steps_per_call), 1)
     flops_per_image = None
-    if args.accum != 1 or args.remat:
+    if args.accum != 1 or args.remat or K > 1:
         anchor_step, anchor_state, anchor_batch = _build(1, False)
         # the anchor DOES device-compile (cost analysis needs the compiled
         # executable), but its accum=1/no-remat program is the smallest
@@ -183,24 +191,46 @@ def main():
         del anchor, anchor_step, anchor_state, anchor_batch
 
     step, state, batch = _build(args.accum, args.remat)
+    if K > 1:
+        # K optimizer steps per dispatched program: identical per-step math
+        # (the scan body IS the single-step program), host round-trip paid
+        # once per K steps. Batches get a leading [K] axis.
+        base_step = step
+
+        def multi(state, batches, keys, dyn):
+            def body(st, xs):
+                b, k = xs
+                st, metrics = base_step(st, b, k, dyn)
+                return st, metrics
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        step = jax.jit(multi, donate_argnums=0)
+        batch = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (K, *x.shape)), batch)
+        call_args = lambda k: (jax.random.split(k, K), {})  # noqa: E731
+    else:
+        call_args = lambda k: (k, {})  # noqa: E731
+
     # compile + warmup
-    lowered = step.lower(state, batch, key, {})
+    a, d = call_args(key)
+    lowered = step.lower(state, batch, a, d)
     compiled = lowered.compile()
     if flops_per_image is None:
         flops_per_image = _cost_flops(compiled) / args.batch_size
     step_flops = flops_per_image * args.batch_size * args.accum
-    state, _ = compiled(state, batch, key, {})
+    state, _ = compiled(state, batch, a, d)
     jax.block_until_ready(state.params)
 
     times = []
     for i in range(args.steps):
         key = jax.random.fold_in(key, i)
+        a, d = call_args(key)
         t0 = time.perf_counter()
-        state, metrics = compiled(state, batch, key, {})
+        state, metrics = compiled(state, batch, a, d)
         jax.block_until_ready(state.params)
         times.append(time.perf_counter() - t0)
 
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / K
     imgs_per_step = args.batch_size * args.accum
     ips_per_chip = imgs_per_step / dt / n_chips
 
