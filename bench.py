@@ -195,17 +195,9 @@ def main():
         # K optimizer steps per dispatched program: identical per-step math
         # (the scan body IS the single-step program), host round-trip paid
         # once per K steps. Batches get a leading [K] axis.
-        base_step = step
+        from siss_tpu.train import fold_steps
 
-        def multi(state, batches, keys, dyn):
-            def body(st, xs):
-                b, k = xs
-                st, metrics = base_step(st, b, k, dyn)
-                return st, metrics
-
-            return jax.lax.scan(body, state, (batches, keys))
-
-        step = jax.jit(multi, donate_argnums=0)
+        step = jax.jit(fold_steps(step), donate_argnums=0)
         batch = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (K, *x.shape)), batch)
         call_args = lambda k: (jax.random.split(k, K), {})  # noqa: E731
     else:

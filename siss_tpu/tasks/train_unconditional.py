@@ -74,18 +74,9 @@ class TrainUnconditional(Task):
         if steps_per_call == 1:
             step_fn = jax.jit(one_step)
         else:
+            from siss_tpu.train import fold_steps
 
-            def multi_step(state, batches, key):
-                keys = jax.random.split(key, batches.shape[0])
-
-                def body(st, xs):
-                    b, k = xs
-                    st, metrics = one_step(st, b, k)
-                    return st, metrics
-
-                return jax.lax.scan(body, state, (batches, keys))
-
-            step_fn = jax.jit(multi_step)
+            step_fn = jax.jit(fold_steps(one_step))
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
 
@@ -119,6 +110,7 @@ class TrainUnconditional(Task):
         it = iter(loader)
         guard = PreemptionGuard().install()
         t_last = time.time()
+        last_logged_step = 0
         while global_step < total_steps:
             if guard.should_stop:
                 save_checkpoint(global_step, state)
@@ -131,23 +123,32 @@ class TrainUnconditional(Task):
                 k_done = 1
             else:
                 k_done = min(steps_per_call, total_steps - global_step)
-                batches = global_batch_from_local(
+                # stacked [K, local_batch, ...]: the BATCH axis is axis 1,
+                # so use the microbatch assembler (axis-0 sharding would
+                # data-parallelize over the K step axis instead)
+                from siss_tpu.parallel import global_microbatches_from_local
+
+                batches = global_microbatches_from_local(
                     np.stack([next(it) for _ in range(k_done)]), mesh)
                 # a short tail block changes the leading shape; jit
                 # recompiles once for it — rare and harmless
-                state, metrics = step_fn(state, batches, step_key)
+                state, metrics = step_fn(state, batches,
+                                         jax.random.split(step_key, k_done))
                 # metrics leaves have a leading [K] axis; report the mean
                 metrics = jax.tree.map(lambda m: m.mean(), metrics)
             global_step += k_done
 
-            if global_step % 50 < k_done or global_step == k_done:
+            if global_step - last_logged_step >= 50 or last_logged_step == 0:
                 dt = time.time() - t_last
                 t_last = time.time()
+                n_steps = global_step - last_logged_step
                 tracker.log({
                     "loss": metrics["loss"],
                     "gradient/pre_clip_norm": metrics["gradient/pre_clip_norm"],
-                    "images_per_sec": 50 * int(cfg.train_batch_size) / dt if global_step > k_done else 0.0,
+                    "images_per_sec": (n_steps * int(cfg.train_batch_size) / dt
+                                       if last_logged_step > 0 else 0.0),
                 }, step=global_step)
+                last_logged_step = global_step
 
             fired = (lambda every: bool(every) and
                      (global_step // int(every)) > ((global_step - k_done) // int(every)))

@@ -4,6 +4,7 @@ from siss_tpu.train.step import (
     DeletionStepConfig,
     build_deletion_train_step,
     build_pretrain_step,
+    fold_steps,
     global_norm,
     clip_by_global_norm,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "DeletionStepConfig",
     "build_deletion_train_step",
     "build_pretrain_step",
+    "fold_steps",
     "global_norm",
     "clip_by_global_norm",
 ]

@@ -434,6 +434,25 @@ def build_deletion_train_step(
     return step
 
 
+def fold_steps(step_fn):
+    """Fold K optimizer steps into ONE XLA program (lax.scan over stacked
+    inputs): ``multi(state, batches[K,...], keys[K], *rest)`` runs
+    ``step_fn(state, batches[i], keys[i], *rest)`` K times and stacks the
+    per-step metrics. Per-step math/FLOPs are identical to K separate
+    calls; only the host dispatch is amortized. Shared by bench.py and the
+    tasks' ``steps_per_call`` modes so the fold logic exists once."""
+
+    def multi(state, batches, keys, *rest):
+        def body(st, xs):
+            b, k = xs
+            st, metrics = step_fn(st, b, k, *rest)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return multi
+
+
 def build_pretrain_step(
     eps_apply: EpsApply,
     schedule: NoiseSchedule,

@@ -107,11 +107,13 @@ def test_steps_per_call_fused_pretrain(tmp_path):
     out = str(tmp_path / "fused")
     ckpts = sorted(int(d.split("-")[1]) for d in os.listdir(out)
                    if d.startswith("checkpoint-") and not d.endswith(".tmp"))
-    # 11 total steps (2 epochs x 5 full batches... computed by the task);
-    # decisive checks: a mid-run checkpoint fired despite 6 % 4 != 0, and
-    # the final checkpoint step equals the logged final step
+    # dataset = 88 imgs / bs 16 -> 5 steps/epoch x 2 epochs = 10 steps,
+    # executed as K-blocks of 4,4,2. Exact expectations:
+    total_steps = 10
+    assert ckpts and ckpts[-1] == total_steps, (
+        f"final checkpoint must be at step {total_steps}: {ckpts}")
+    # the cadence-6 crossing happens inside the second block -> saved at
+    # the block end, step 8 (6 % 4 != 0 is the whole point of the test)
+    assert 8 in ckpts, f"mid-run cadence-6 crossing never fired: {ckpts}"
     rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
-    final_step = max(r["_step"] for r in rows if r.get("_step") is not None)
-    assert ckpts, "no checkpoints written"
-    assert ckpts[-1] == final_step or ckpts[-1] >= 6
-    assert any(c not in (0, final_step) for c in ckpts), "mid-run cadence never fired"
+    assert any("loss" in r for r in rows)
