@@ -10,6 +10,7 @@ from siss_tpu.parallel.mesh import (
 )
 from siss_tpu.parallel.multihost import (
     global_batch_from_local,
+    global_folded_microbatches_from_local,
     global_microbatches_from_local,
     local_stream,
     make_rank_sampler,
@@ -26,6 +27,7 @@ __all__ = [
     "shard_params_fsdp",
     "shard_batch",
     "global_batch_from_local",
+    "global_folded_microbatches_from_local",
     "global_microbatches_from_local",
     "local_stream",
     "make_rank_sampler",

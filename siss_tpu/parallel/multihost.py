@@ -61,6 +61,16 @@ def global_microbatches_from_local(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: _from_local(x, sh), batch)
 
 
+def global_folded_microbatches_from_local(batch: Any, mesh: Mesh) -> Any:
+    """For [K, accum, local_batch, ...] trees (``steps_per_call`` folding:
+    axis 0 = fused optimizer steps, axis 1 = accumulation, axis 2 = batch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axes = ("data", "fsdp") if mesh.shape.get("fsdp", 1) > 1 else "data"
+    sh = NamedSharding(mesh, P(None, None, data_axes))
+    return jax.tree.map(lambda x: _from_local(x, sh), batch)
+
+
 def local_stream(stream: Iterator, mesh: Mesh) -> Iterator:
     """Wrap a host batch stream so every yielded pytree is assembled into
     a global sharded array tree."""

@@ -213,36 +213,71 @@ class DeleteTShirt(Task):
             superfactor = float(superfactor) * float(decay) ** (start_step * accum)
         if start_step == 0:
             log_metrics(0)
+
+        # K optimizer steps per dispatched program (same mechanism as the
+        # pretrain task's steps_per_call; +11% there at tiny-model scale).
+        # Kept at 1 when superfactor is configured — its per-microbatch
+        # host-side decay varies across the fold.
+        steps_per_call = max(int(cfg.get("steps_per_call", 1) or 1), 1)
+        if superfactor is not None and steps_per_call > 1:
+            print("[delete_tshirt] steps_per_call>1 incompatible with "
+                  "superfactor decay; running per-step")
+            steps_per_call = 1
+        if steps_per_call > 1:
+            from siss_tpu.parallel import global_folded_microbatches_from_local
+            from siss_tpu.train import fold_steps
+
+            multi_fn = jax.jit(fold_steps(lambda st, b, k: step_fn(st, b, k, {})))
+
         guard = PreemptionGuard().install()
         t_last = time.time()
-        for global_step in range(start_step + 1, training_steps + 1):
+        global_step = start_step
+        while global_step < training_steps:
             if guard.should_stop:
-                ckpt.save_bundle(global_step - 1, {
+                ckpt.save_bundle(global_step, {
                     "state": state, "unet": state.params,
                     "unet_ema": state.ema.params if state.ema is not None else None,
                 })
-                print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
+                print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            batch = global_microbatches_from_local(next(stream), mesh)
             key, step_key = jax.random.split(key)
-            # per-microbatch decay inside the accumulation loop
-            # (reference ``delete_tshirt.py`` analog of ``:658-662``)
-            dyn = {}
-            if superfactor is not None:
-                d = float(decay) if decay else 1.0
-                dyn = {"superfactor": jnp.asarray(
-                    [float(superfactor) * d**i for i in range(accum)], jnp.float32)}
-            state, metrics = step_fn(state, batch, step_key, dyn)
-            if superfactor is not None and decay:
-                superfactor = float(superfactor) * float(decay) ** accum
-                metrics["superfactor"] = superfactor
+            if steps_per_call == 1:
+                batch = global_microbatches_from_local(next(stream), mesh)
+                # per-microbatch decay inside the accumulation loop
+                # (reference ``delete_tshirt.py`` analog of ``:658-662``)
+                dyn = {}
+                if superfactor is not None:
+                    d = float(decay) if decay else 1.0
+                    dyn = {"superfactor": jnp.asarray(
+                        [float(superfactor) * d**i for i in range(accum)], jnp.float32)}
+                state, metrics = step_fn(state, batch, step_key, dyn)
+                if superfactor is not None and decay:
+                    superfactor = float(superfactor) * float(decay) ** accum
+                    metrics["superfactor"] = superfactor
+                k_done = 1
+                per_step_metrics = [metrics]
+            else:
+                k_done = min(steps_per_call, training_steps - global_step)
+                batches = global_folded_microbatches_from_local(
+                    jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[next(stream) for _ in range(k_done)]), mesh)
+                state, metrics = multi_fn(state, batches,
+                                          jax.random.split(step_key, k_done))
+                # metrics leaves are stacked [K]; log each step's own row
+                per_step_metrics = [
+                    jax.tree.map(lambda m, i=i: m[i], metrics) for i in range(k_done)
+                ]
             dt = time.time() - t_last
             t_last = time.time()
-            metrics["images_per_sec"] = bs * accum / dt
-            tracker.log(metrics, step=global_step)
-            if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
+            for i, m in enumerate(per_step_metrics):
+                m["images_per_sec"] = k_done * bs * accum / dt
+                tracker.log(m, step=global_step + i + 1)
+            prev_step, global_step = global_step, global_step + k_done
+            fired = (lambda every: bool(every) and
+                     (global_step // int(every)) > (prev_step // int(every)))
+            if int(cfg.sampling_steps) and fired(cfg.sampling_steps):
                 log_metrics(global_step)
-            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+            if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
                 ckpt.save_bundle(global_step, {
                     "state": state, "unet": state.params,
                     "unet_ema": state.ema.params if state.ema is not None else None,

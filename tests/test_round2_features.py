@@ -184,3 +184,38 @@ def test_optimizer_builder_nu_dtype():
     u, state = tx.update(g, state, params)
     assert state[0].nu["w"].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(optax.apply_updates(params, u)["w"])).all()
+
+
+def test_delete_tshirt_steps_per_call(tmp_path):
+    """Fused unlearning blocks must complete all steps, log every step's
+    metrics row, and fire cadences at block crossings."""
+    import os
+
+    from siss_tpu.config import load_config
+    from siss_tpu.data import make_synthetic_mnist_tshirt
+    from siss_tpu.tasks.delete_tshirt import DeleteTShirt
+
+    npz = str(tmp_path / "d.npz")
+    images, labels = make_synthetic_mnist_tshirt(n_per_class=6)
+    np.savez(npz, images=images, labels=labels)
+    cfg = load_config("delete_tshirt", [
+        f"dataset_all.path={npz}", f"dataset_deletion.path={npz}",
+        f"dataset.path={npz}", f"output_dir={tmp_path}/out",
+        "checkpoint_path=null",
+        "training_steps=5", "train_batch_size=4", "eval_images=4",
+        "eval_batch_size=4", "sampling_steps=3", "steps_per_call=2",
+        "metrics.likelihood=null", "mesh.data=2",
+        "pipeline.num_inference_steps=4",
+        "unet.block_out_channels=[16,32]",
+        "unet.down_block_types=[DownBlock2D,DownBlock2D]",
+        "unet.up_block_types=[UpBlock2D,UpBlock2D]",
+        "+unet.norm_num_groups=8",
+    ])
+    DeleteTShirt(cfg).run()
+    rows = [json.loads(l) for l in open(os.path.join(str(tmp_path), "out", "metrics.jsonl"))]
+    train_steps = sorted(r["_step"] for r in rows if "loss_x/mean" in r)
+    assert train_steps == [1, 2, 3, 4, 5], train_steps  # every step logged
+    # sampling cadence 3 crossed inside block 2 -> eval logged at step 4
+    eval_steps = sorted(r["_step"] for r in rows
+                        if "metrics/deletion_class_fraction" in r)
+    assert 4 in eval_steps, eval_steps
