@@ -224,7 +224,10 @@ def main():
 
     dt = float(np.median(times)) / K
     imgs_per_step = args.batch_size * args.accum
-    ips_per_chip = imgs_per_step / dt / n_chips
+    # the benched step is an unsharded single-device program, so per-chip
+    # throughput divides by the ONE chip it runs on — not len(jax.devices())
+    # (which would understate it on a multi-chip host)
+    ips_per_chip = imgs_per_step / dt
 
     # A100 reference estimate (see module docstring / BASELINE.md)
     a100_ref_ips = (156e12 * 0.35) / flops_per_image if flops_per_image else 0.0

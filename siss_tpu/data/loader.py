@@ -31,13 +31,19 @@ class BatchLoader:
     conversion, GIL released)."""
 
     def __init__(self, dataset, sampler, batch_size: int, prefetch: int = 2,
-                 collate: Optional[Callable] = None, drop_last: bool = True):
+                 collate: Optional[Callable] = None, drop_last: bool = True,
+                 skip_batches: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.collate = collate or _default_collate
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # resume fast-forward: consume this many leading batches at the
+        # SAMPLER level (indices only — no dataset reads / image decodes),
+        # so resume cost is O(1) per skipped step, not linear in data volume.
+        # May also be set after construction, before the first next().
+        self.skip_batches = skip_batches
         self._native_images = None
         if (
             _siss_batcher is not None
@@ -53,7 +59,11 @@ class BatchLoader:
 
     def _batches(self) -> Iterator[Any]:
         buf = []
+        to_skip = int(self.skip_batches) * self.batch_size
         for idx in self.sampler:
+            if to_skip > 0:
+                to_skip -= 1
+                continue
             buf.append(idx if self._native_images is not None else self.dataset[idx])
             if len(buf) == self.batch_size:
                 if self._native_images is not None:

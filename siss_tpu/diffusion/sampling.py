@@ -205,15 +205,21 @@ def sample_ddim_cfg(
         eps_uncond, eps_text = eps_both[:B], eps_both[B:]
         delta = eps_text - eps_uncond
         eps = eps_uncond + guidance_scale * delta
-        axes = tuple(range(1, x.ndim))
-        norms = (
-            jnp.sqrt(jnp.sum(eps_uncond.astype(jnp.float32) ** 2, axis=axes)),
-            jnp.sqrt(jnp.sum(delta.astype(jnp.float32) ** 2, axis=axes)),
-        )
+        if track_noise_norm:
+            axes = tuple(range(1, x.ndim))
+            norms = (
+                jnp.sqrt(jnp.sum(eps_uncond.astype(jnp.float32) ** 2, axis=axes)),
+                jnp.sqrt(jnp.sum(delta.astype(jnp.float32) ** 2, axis=axes)),
+            )
+        else:
+            # no scan outputs at all — the norm reductions never enter the
+            # program when untracked (they'd be materialized [steps, B] work)
+            norms = None
         x = ddim_step(schedule, x, eps, t, p, eta=eta, key=sub)
         return (x, k), norms
 
-    (x, _), (uncond_norms, text_norms) = jax.lax.scan(body, (x, key), (ts, prev))
+    (x, _), norms_out = jax.lax.scan(body, (x, key), (ts, prev))
     if track_noise_norm:
+        uncond_norms, text_norms = norms_out
         return x, {"uncond_norm": uncond_norms, "text_norm": text_norms}
     return x, None

@@ -100,7 +100,8 @@ class StableDiffusionPipeline:
         latents, norms = sample_ddim_cfg(
             self._eps_fn(params), self.schedule, key, shape,
             prompt_embeds, uncond_embeds, guidance_scale=guidance_scale,
-            num_inference_steps=num_inference_steps, track_noise_norm=True,
+            num_inference_steps=num_inference_steps,
+            track_noise_norm=track_noise_norm,
         )
         if decode:
             images = self.vae_decode(self.vae_params, latents)

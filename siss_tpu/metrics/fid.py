@@ -44,11 +44,20 @@ def _stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 class FIDEvaluator:
     def __init__(self, feature_fn: Callable, real_images: Optional[np.ndarray] = None,
                  inception_batch_size: int = 64,
-                 remove_class_classifier=None, remove_class: Optional[int] = None):
+                 remove_class_classifier=None, remove_class: Optional[int] = None,
+                 embedder: str = "inception_v3"):
         """``feature_fn(imgs_nhwc_in_01) -> [N, D] features`` (jittable or
         host fn). ``real_images`` in [0,1]; stats cached
-        (= ``reset_real_features=False``)."""
+        (= ``reset_real_features=False``).
+
+        ``embedder`` names the feature extractor; ``metric_key`` is
+        ``metrics/fid`` only for the canonical inception_v3 — any other
+        embedder logs under ``metrics/fid_<name>`` so FID-rand curves can
+        never be mistaken for paper-comparable FID."""
         self.feature_fn = feature_fn
+        self.embedder = embedder
+        self.metric_key = ("metrics/fid" if embedder == "inception_v3"
+                           else f"metrics/fid_{embedder}")
         self.batch_size = inception_batch_size
         self.remove_class_classifier = remove_class_classifier
         self.remove_class = remove_class

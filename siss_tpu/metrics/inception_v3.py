@@ -11,8 +11,10 @@ features (``metrics/fid.py:10-69``). This module provides:
   environments, a deterministic random-projection CNN embedder — "FID-rand",
   clearly labelled) into the generic ``FIDEvaluator``.
 
-FID numbers are only comparable when computed with the same embedder; the
-evaluator records which one was used.
+FID numbers are only comparable when computed with the same embedder;
+``make_inception_feature_fn`` returns which one was wired and the evaluator
+exposes it as ``FIDEvaluator.embedder`` / ``metric_key`` (``metrics/fid``
+for real InceptionV3, ``metrics/fid_rand`` for the fallback).
 """
 
 from __future__ import annotations
@@ -166,8 +168,9 @@ class RandomEmbedder(nn.Module):
 
 
 def make_inception_feature_fn(weights_path: Optional[str] = None,
-                              batch_input_range: str = "01") -> Callable:
-    """Returns ``feature_fn(imgs_nhwc) -> [N, D]``.
+                              batch_input_range: str = "01"):
+    """Returns ``(feature_fn, embedder_name)`` where ``feature_fn(imgs_nhwc)
+    -> [N, D]`` and ``embedder_name`` is ``"inception_v3"`` or ``"rand"``.
 
     ``weights_path``: a torchvision ``inception_v3`` state-dict (.pth/.bin/
     .safetensors). When None/missing → RandomEmbedder (FID-rand).
@@ -182,12 +185,11 @@ def make_inception_feature_fn(weights_path: Optional[str] = None,
               if not k.startswith(("fc.", "AuxLogits."))}
         # torchvision BN: weight/bias/running_mean/running_var
         variables = _convert_inception(sd, template)
-        dims = 2048
-        mdl, var = model, variables
+        mdl, var, name = model, variables, "inception_v3"
     else:
         mdl = RandomEmbedder()
         var = mdl.init(jax.random.PRNGKey(42), jnp.zeros((1, 299, 299, 3)))
-        dims = 512
+        name = "rand"
 
     @jax.jit
     def feature_fn(imgs):
@@ -199,7 +201,7 @@ def make_inception_feature_fn(weights_path: Optional[str] = None,
             imgs = imgs * 2.0 - 1.0
         return mdl.apply(var, imgs)
 
-    return feature_fn
+    return feature_fn, name
 
 
 def _convert_inception(sd, template):
@@ -237,8 +239,9 @@ def build_fid_evaluator(fid_cfg: dict, real_dataset, max_real: int = 2048):
     (the reference caches real stats once, ``metrics/fid.py:23-41``)."""
     from siss_tpu.metrics.fid import FIDEvaluator
 
-    feature_fn = make_inception_feature_fn(fid_cfg.get("inception_weights"))
+    feature_fn, embedder = make_inception_feature_fn(fid_cfg.get("inception_weights"))
     n = min(len(real_dataset), max_real)
     real = np.stack([(np.asarray(real_dataset[i]) + 1.0) / 2.0 for i in range(n)])
     return FIDEvaluator(feature_fn, real_images=real,
-                        inception_batch_size=int(fid_cfg.get("inception_batch_size", 64)))
+                        inception_batch_size=int(fid_cfg.get("inception_batch_size", 64)),
+                        embedder=embedder)

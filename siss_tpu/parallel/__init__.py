@@ -6,6 +6,7 @@ from siss_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_params_fsdp,
+    shard_state,
     shard_batch,
 )
 from siss_tpu.parallel.multihost import (
@@ -25,6 +26,7 @@ __all__ = [
     "replicated_sharding",
     "param_shardings",
     "shard_params_fsdp",
+    "shard_state",
     "shard_batch",
     "global_batch_from_local",
     "global_folded_microbatches_from_local",

@@ -94,6 +94,17 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda p: NamedSharding(mesh, _fsdp_spec(p.shape, mesh)), params)
 
 
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Re-place a whole TrainState pytree on the mesh: big tensors
+    FSDP-sharded, everything else replicated. Needed after checkpoint
+    restore — orbax returns leaves committed to whatever devices the
+    template leaves happened to live on (sharded params vs single-device
+    scalars), and jit refuses arguments spanning inconsistent device sets."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, _fsdp_spec(x.shape, mesh))),
+        state)
+
+
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     """device_put a host batch pytree with its batch axis sharded over `data`."""
     sh = batch_sharding(mesh, batch_axis)

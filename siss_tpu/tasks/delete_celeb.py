@@ -102,10 +102,10 @@ class DeleteCeleb(Task):
         keep_sampler = InfiniteSampler(len(dataset_all), rank=jax.process_index(),
                                        num_replicas=jax.process_count(),
                                        seed=int(cfg.random_seed))
-        keep_it = iter(BatchLoader(dataset_all, keep_sampler, bs_local))
+        keep_loader = BatchLoader(dataset_all, keep_sampler, bs_local)
         forget_sampler = RepeatedSampler(len(dataset_deletion), training_steps * accum * bs_local)
-        forget_it = iter(BatchLoader(dataset_deletion, forget_sampler, bs_local))
-        stream = dual_stream(keep_it, forget_it, accum)
+        forget_loader = BatchLoader(dataset_deletion, forget_sampler, bs_local)
+        stream = dual_stream(iter(keep_loader), iter(forget_loader), accum)
 
         evaluator = Evaluator(eps_apply, schedule,
                               (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
@@ -213,7 +213,9 @@ class DeleteCeleb(Task):
                     fid_eval.update(evaluator.sample_images(eval_params, min(batch_n, n - done)))
                     done += batch_n
                 fid, secs = fid_eval.compute()
-                m["metrics/fid"] = fid
+                # metrics/fid only with real InceptionV3 features; the
+                # weight-less fallback logs metrics/fid_rand (not comparable)
+                m[fid_eval.metric_key] = fid
             if m:
                 tracker.log(m, step=step)
 
@@ -225,14 +227,18 @@ class DeleteCeleb(Task):
         if cfg.get("resume_from_checkpoint"):
             rpath = str(cfg.resume_from_checkpoint)
             state = ckpt.restore_item("latest" if rpath == "latest" else rpath, "state", state)
+            from siss_tpu.parallel import shard_state
+
+            # restored leaves come back committed to the template
+            # leaves' (mixed) devices; re-place consistently on the mesh
+            state = shard_state(state, mesh)
             start_step = int(state.step)
-            # fast-forward the data stream to the same sample offset: each
-            # next(stream) yields one FULL [accum, ...] batch, so skip one
-            # draw per completed optimizer step (skipping start_step*accum
-            # would over-advance by accum x and exhaust the finite forget
-            # sampler mid-run)
-            for _ in range(start_step):
-                next(stream)
+            # fast-forward the data streams to the same sample offset at
+            # the SAMPLER level (indices only — no image decodes, so resume
+            # cost doesn't grow with prior data volume): each optimizer
+            # step consumed `accum` microbatches from each loader
+            keep_loader.skip_batches = start_step * accum
+            forget_loader.skip_batches = start_step * accum
             for _ in range(start_step):
                 key, _ = jax.random.split(key)
             print(f"[delete_celeb] resumed from step {start_step}")
@@ -248,33 +254,86 @@ class DeleteCeleb(Task):
 
         if start_step == 0:
             log_metrics(0)
+
+        # K optimizer steps per dispatched program — the mechanism bench.py
+        # measures (52.0 → 54.2 img/s at K=4, celeb scale): per-step math is
+        # identical, only the host dispatch is amortized. Guarded off when
+        # superfactor decay is configured (its per-microbatch host-side
+        # schedule varies across the fold), same as delete_tshirt.
+        steps_per_call = max(int(cfg.get("steps_per_call", 1) or 1), 1)
+        if superfactor is not None and steps_per_call > 1:
+            print("[delete_celeb] steps_per_call>1 incompatible with "
+                  "superfactor; running per-step")
+            steps_per_call = 1
+        if steps_per_call > 1:
+            from siss_tpu.parallel import global_folded_microbatches_from_local
+            from siss_tpu.train import fold_steps
+
+            multi_fn = jax.jit(fold_steps(lambda st, b, k: step_fn(st, b, k, {})))
+
         guard = PreemptionGuard().install()
         t_last = time.time()
-        for global_step in range(start_step + 1, training_steps + 1):
+        global_step = start_step
+        while global_step < training_steps:
             if guard.should_stop:
-                ckpt.save_bundle(global_step - 1, {"state": state, "unet": state.params})
-                print(f"[preemption] saved checkpoint-{global_step - 1}; exiting")
+                ckpt.save_bundle(global_step, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
+                print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            batch = global_microbatches_from_local(next(stream), mesh)
-            key, step_key = jax.random.split(key)
-            dyn = {}
-            if superfactor is not None:
-                d = float(decay) if decay else 1.0
-                dyn = {"superfactor": jnp.asarray(
-                    [superfactor * d**i for i in range(accum)], jnp.float32)}
-                superfactor *= d**accum
-            state, metrics = step_fn(state, batch, step_key, dyn)
+            if steps_per_call == 1:
+                key, step_key = jax.random.split(key)
+                batch = global_microbatches_from_local(next(stream), mesh)
+                dyn = {}
+                superfactor_logged = superfactor
+                if superfactor is not None:
+                    d = float(decay) if decay else 1.0
+                    dyn = {"superfactor": jnp.asarray(
+                        [superfactor * d**i for i in range(accum)], jnp.float32)}
+                    superfactor *= d**accum
+                state, metrics = step_fn(state, batch, step_key, dyn)
+                if superfactor_logged is not None:
+                    # pre-decay value (the one used for this step's first
+                    # microbatch) — matches the reference's per-microbatch
+                    # telemetry cadence (delete_celeb.py:658-663)
+                    metrics["superfactor"] = superfactor_logged
+                k_done = 1
+                per_step_metrics = [metrics]
+            else:
+                k_done = min(steps_per_call, training_steps - global_step)
+                batches = global_folded_microbatches_from_local(
+                    jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[next(stream) for _ in range(k_done)]), mesh)
+                # one split per optimizer step — same chain cadence as the
+                # unfolded loop (exact resume for any steps_per_call)
+                step_keys = []
+                for _ in range(k_done):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
+                state, metrics = multi_fn(state, batches, jnp.stack(step_keys))
+                per_step_metrics = [
+                    jax.tree.map(lambda m, i=i: m[i], metrics) for i in range(k_done)
+                ]
             dt = time.time() - t_last
             t_last = time.time()
-            metrics["images_per_sec"] = bs * accum / dt
-            if superfactor is not None:
-                metrics["superfactor"] = superfactor
-            tracker.log(metrics, step=global_step)
-            if int(cfg.sampling_steps) and global_step % int(cfg.sampling_steps) == 0:
+            for i, m in enumerate(per_step_metrics):
+                m["images_per_sec"] = k_done * bs * accum / dt
+                tracker.log(m, step=global_step + i + 1)
+            prev_step, global_step = global_step, global_step + k_done
+            fired = (lambda every: bool(every) and
+                     (global_step // int(every)) > (prev_step // int(every)))
+            if int(cfg.sampling_steps) and fired(cfg.sampling_steps):
                 log_metrics(global_step)
-            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
-                ckpt.save_bundle(global_step, {"state": state, "unet": state.params})
+            if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
+                ckpt.save_bundle(global_step, {
+                    "state": state, "unet": state.params,
+                    "unet_ema": state.ema.params if state.ema is not None else None,
+                })
 
         if not guard.should_stop:
-            ckpt.save_bundle(training_steps, {"state": state, "unet": state.params})
+            ckpt.save_bundle(training_steps, {
+                "state": state, "unet": state.params,
+                "unet_ema": state.ema.params if state.ema is not None else None,
+            })
         tracker.finish()

@@ -185,8 +185,7 @@ class DeleteSD(Task):
 
         random_flip = bool(cfg.get("random_flip"))
 
-        @jax.jit
-        def sd_step(state, images, key, dyn):
+        def sd_step_core(state, images, key, dyn):
             k_enc_a, k_enc_d, k_step, k_flip = jax.random.split(key, 4)
             A, mb = images["all"].shape[:2]
 
@@ -210,6 +209,7 @@ class DeleteSD(Task):
             }
             return latent_step(state, batch, k_step, dyn)
 
+        sd_step = jax.jit(sd_step_core)
         state = TrainState.create(unet_params, tx, use_ema=step_cfg.use_ema)
 
         # ---- data streams: keep infinite; memorized repeated constant
@@ -225,11 +225,12 @@ class DeleteSD(Task):
 
         keep_imgs, mem_imgs = strip_label(all_data), strip_label(memorized_data)
         bs_local = process_batch_slice(bs)
-        keep_it = iter(BatchLoader(keep_imgs, InfiniteSampler(
+        keep_loader = BatchLoader(keep_imgs, InfiniteSampler(
             len(keep_imgs), rank=jax.process_index(), num_replicas=jax.process_count(),
-            seed=int(cfg.seed)), bs_local))
-        forget_it = iter(BatchLoader(mem_imgs, RepeatedSampler(
-            len(mem_imgs), training_steps * accum * bs_local), bs_local))
+            seed=int(cfg.seed)), bs_local)
+        forget_loader = BatchLoader(mem_imgs, RepeatedSampler(
+            len(mem_imgs), training_steps * accum * bs_local), bs_local)
+        keep_it, forget_it = iter(keep_loader), iter(forget_loader)
 
         # ---- validation metrics (gated like the reference's toggles)
         metrics_cfg = cfg.get("metrics") or {}
@@ -321,15 +322,20 @@ class DeleteSD(Task):
         if cfg.get("resume_from_checkpoint"):
             path = "latest" if str(cfg.resume_from_checkpoint) == "latest" else str(cfg.resume_from_checkpoint)
             state = ckpt.restore_item(path, "state", state)
+            from siss_tpu.parallel import shard_state
+
+            # restored leaves come back committed to the template
+            # leaves' (mixed) devices; re-place consistently on the mesh
+            state = shard_state(state, mesh)
             global_step = int(state.step)
             img_count = global_step * bs * accum
-            # fast-forward data streams and the PRNG chain so the resumed
-            # run consumes the same samples/noise an uninterrupted run
-            # would at this step (each step draws `accum` microbatches
-            # from each iterator and splits the key once)
-            for _ in range(global_step * accum):
-                next(keep_it)
-                next(forget_it)
+            # fast-forward data streams at the SAMPLER level (indices only
+            # — no image decodes, so resume cost doesn't grow with prior
+            # data volume) and the PRNG chain (one split per step), so the
+            # resumed run consumes the same samples/noise an uninterrupted
+            # run would at this step
+            keep_loader.skip_batches = global_step * accum
+            forget_loader.skip_batches = global_step * accum
             for _ in range(global_step):
                 key, _ = jax.random.split(key)
             print(f"[delete_sd] resumed from step {global_step}")
@@ -341,6 +347,20 @@ class DeleteSD(Task):
             # matches an uninterrupted run (SD decays once per optimizer
             # step, ``delete_sd.py:1190-1197``)
             superfactor = float(superfactor) * float(decay) ** global_step
+        # K optimizer steps per dispatched program (same fold as the other
+        # tasks; amortizes host dispatch). Guarded off when superfactor is
+        # configured — its per-step host-side decay varies across the fold.
+        steps_per_call = max(int(cfg.get("steps_per_call", 1) or 1), 1)
+        if superfactor is not None and steps_per_call > 1:
+            print("[delete_sd] steps_per_call>1 incompatible with "
+                  "superfactor; running per-step")
+            steps_per_call = 1
+        if steps_per_call > 1:
+            from siss_tpu.parallel import global_folded_microbatches_from_local
+            from siss_tpu.train import fold_steps
+
+            multi_fn = jax.jit(fold_steps(lambda st, b, k: sd_step_core(st, b, k, {})))
+
         guard = PreemptionGuard().install()
         t_last = time.time()
         while global_step < training_steps:
@@ -351,31 +371,59 @@ class DeleteSD(Task):
                 })
                 print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            images = {
-                "all": np.stack([next(keep_it) for _ in range(accum)]),
-                "deletion": np.stack([next(forget_it) for _ in range(accum)]),
-            }
-            batch = global_microbatches_from_local(images, mesh)
-            key, step_key = jax.random.split(key)
-            dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}
-            state, metrics = sd_step(state, batch, step_key, dyn)
-            global_step += 1
-            img_count += bs * accum
-            if superfactor is not None and decay:
-                superfactor = float(superfactor) * float(decay)  # ``:1190-1197``
-                metrics["superfactor"] = superfactor
+
+            def load_images():
+                return {
+                    "all": np.stack([next(keep_it) for _ in range(accum)]),
+                    "deletion": np.stack([next(forget_it) for _ in range(accum)]),
+                }
+
+            if steps_per_call == 1:
+                batch = global_microbatches_from_local(load_images(), mesh)
+                key, step_key = jax.random.split(key)
+                dyn = {"superfactor": jnp.asarray(float(superfactor))} if superfactor is not None else {}
+                state, metrics = sd_step(state, batch, step_key, dyn)
+                if superfactor is not None:
+                    # log the value used THIS step (pre-decay), then decay
+                    # once per optimizer step (``delete_sd.py:1190-1197``)
+                    metrics["superfactor"] = superfactor
+                    if decay:
+                        superfactor = float(superfactor) * float(decay)
+                k_done = 1
+                per_step_metrics = [metrics]
+            else:
+                k_done = min(steps_per_call, training_steps - global_step)
+                batches = global_folded_microbatches_from_local(
+                    jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[load_images() for _ in range(k_done)]), mesh)
+                # one split per optimizer step — same chain cadence as the
+                # unfolded loop (exact resume for any steps_per_call)
+                step_keys = []
+                for _ in range(k_done):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
+                state, metrics = multi_fn(state, batches, jnp.stack(step_keys))
+                per_step_metrics = [
+                    jax.tree.map(lambda m, i=i: m[i], metrics) for i in range(k_done)
+                ]
+            prev_step = global_step
+            global_step += k_done
             dt = time.time() - t_last
             t_last = time.time()
-            metrics["images_per_sec"] = bs * accum / dt
-            # step key = image count (reference ``delete_sd.py:1022``)
-            tracker.log(metrics, step=img_count)
+            for i, m in enumerate(per_step_metrics):
+                m["images_per_sec"] = k_done * bs * accum / dt
+                # step key = image count (reference ``delete_sd.py:1022``)
+                tracker.log(m, step=img_count + (i + 1) * bs * accum)
+            img_count += k_done * bs * accum
+            fired = (lambda every: bool(every) and
+                     (global_step // int(every)) > (prev_step // int(every)))
             # validation_steps=1 reproduces the reference's every-step
             # log_validation (``delete_sd.py:1178-1188``); real SD runs
             # raise it so the 50-step CFG sampling doesn't dominate
             # wall-clock (VERDICT r1 weak #6).
-            if global_step % int(cfg.get("validation_steps", 1) or 1) == 0:
+            if fired(int(cfg.get("validation_steps", 1) or 1)):
                 log_validation(global_step, img_count)
-            if cfg.get("checkpointing_steps") and global_step % int(cfg.checkpointing_steps) == 0:
+            if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
                 ckpt.save_bundle(global_step, {
                     "state": state, "unet": state.params,
                     "unet_ema": state.ema.params if state.ema is not None else None,

@@ -87,11 +87,11 @@ class DeleteTShirt(Task):
         # rank/num_replicas contract, infinite_sampler.py:5-13)
         bs_local = process_batch_slice(bs)
         rank, nrep = jax.process_index(), jax.process_count()
-        keep_it = iter(BatchLoader(dataset_all, InfiniteSampler(
-            len(dataset_all), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed)), bs_local))
-        forget_it = iter(BatchLoader(dataset_deletion, InfiniteSampler(
-            len(dataset_deletion), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed) + 1), bs_local))
-        stream = dual_stream(keep_it, forget_it, accum)
+        keep_loader = BatchLoader(dataset_all, InfiniteSampler(
+            len(dataset_all), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed)), bs_local)
+        forget_loader = BatchLoader(dataset_deletion, InfiniteSampler(
+            len(dataset_deletion), rank=rank, num_replicas=nrep, seed=int(cfg.random_seed) + 1), bs_local)
+        stream = dual_stream(iter(keep_loader), iter(forget_loader), accum)
 
         # ---- metric components
         evaluator = Evaluator(eps_apply, schedule,
@@ -194,14 +194,18 @@ class DeleteTShirt(Task):
         if cfg.get("resume_from_checkpoint"):
             rpath = str(cfg.resume_from_checkpoint)
             state = ckpt.restore_item("latest" if rpath == "latest" else rpath, "state", state)
+            from siss_tpu.parallel import shard_state
+
+            # restored leaves come back committed to the template
+            # leaves' (mixed) devices; re-place consistently on the mesh
+            state = shard_state(state, mesh)
             start_step = int(state.step)
-            # fast-forward the data stream to the same sample offset: each
-            # next(stream) yields one FULL [accum, ...] batch, so skip one
-            # draw per completed optimizer step (skipping start_step*accum
-            # would over-advance by accum x and exhaust the finite forget
-            # sampler mid-run)
-            for _ in range(start_step):
-                next(stream)
+            # fast-forward the data streams to the same sample offset at
+            # the SAMPLER level (indices only — no image loads, so resume
+            # cost doesn't grow with prior data volume): each optimizer
+            # step consumed `accum` microbatches from each loader
+            keep_loader.skip_batches = start_step * accum
+            forget_loader.skip_batches = start_step * accum
             for _ in range(start_step):
                 key, _ = jax.random.split(key)
             print(f"[delete_tshirt] resumed from step {start_step}")
@@ -240,8 +244,8 @@ class DeleteTShirt(Task):
                 })
                 print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            key, step_key = jax.random.split(key)
             if steps_per_call == 1:
+                key, step_key = jax.random.split(key)
                 batch = global_microbatches_from_local(next(stream), mesh)
                 # per-microbatch decay inside the accumulation loop
                 # (reference ``delete_tshirt.py`` analog of ``:658-662``)
@@ -261,8 +265,15 @@ class DeleteTShirt(Task):
                 batches = global_folded_microbatches_from_local(
                     jax.tree.map(lambda *xs: np.stack(xs),
                                  *[next(stream) for _ in range(k_done)]), mesh)
-                state, metrics = multi_fn(state, batches,
-                                          jax.random.split(step_key, k_done))
+                # one key split per optimizer step — the SAME chain cadence
+                # as the unfolded loop, so folded runs are bitwise-identical
+                # to per-step runs and resume fast-forward (one split per
+                # completed step) stays exact for any steps_per_call
+                step_keys = []
+                for _ in range(k_done):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
+                state, metrics = multi_fn(state, batches, jnp.stack(step_keys))
                 # metrics leaves are stacked [K]; log each step's own row
                 per_step_metrics = [
                     jax.tree.map(lambda m, i=i: m[i], metrics) for i in range(k_done)

@@ -93,6 +93,11 @@ class TrainUnconditional(Task):
         if cfg.get("resume_from_checkpoint"):
             path = ckpt.latest() if cfg.resume_from_checkpoint == "latest" else str(cfg.resume_from_checkpoint)
             state = ckpt.restore_item(path, "state", state)
+            from siss_tpu.parallel import shard_state
+
+            # restored leaves come back committed to the template
+            # leaves' (mixed) devices; re-place consistently on the mesh
+            state = shard_state(state, mesh)
             global_step = int(state.step)
 
         evaluator = Evaluator(
@@ -116,8 +121,8 @@ class TrainUnconditional(Task):
                 save_checkpoint(global_step, state)
                 print(f"[preemption] saved checkpoint-{global_step}; exiting")
                 break
-            key, step_key = jax.random.split(key)
             if steps_per_call == 1:
+                key, step_key = jax.random.split(key)
                 batch = global_batch_from_local(next(it), mesh)
                 state, metrics = step_fn(state, batch, step_key)
                 k_done = 1
@@ -130,10 +135,15 @@ class TrainUnconditional(Task):
 
                 batches = global_microbatches_from_local(
                     np.stack([next(it) for _ in range(k_done)]), mesh)
+                # one split per optimizer step — same chain cadence as the
+                # unfolded loop, so folding never changes the noise sequence
+                step_keys = []
+                for _ in range(k_done):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
                 # a short tail block changes the leading shape; jit
                 # recompiles once for it — rare and harmless
-                state, metrics = step_fn(state, batches,
-                                         jax.random.split(step_key, k_done))
+                state, metrics = step_fn(state, batches, jnp.stack(step_keys))
                 # metrics leaves have a leading [K] axis; report the mean
                 metrics = jax.tree.map(lambda m: m.mean(), metrics)
             global_step += k_done
