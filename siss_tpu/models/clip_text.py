@@ -109,12 +109,21 @@ class CLIPTextModel(nn.Module):
 
 
 def load_clip_tokenizer(path_or_name: Optional[str] = None):
-    """HF CLIPTokenizer when local vocab files exist; else None (tasks then
-    require precomputed prompt embeddings)."""
+    """Native byte-level BPE tokenizer when local ``vocab.json``/
+    ``merges.txt`` exist (every SD checkpoint's ``tokenizer/`` folder ships
+    them); HF CLIPTokenizer as a fallback for hub-cached names; else None
+    (tasks then require precomputed prompt embeddings)."""
+    import os
+
+    path = path_or_name or "openai/clip-vit-large-patch14"
+    if (os.path.isfile(os.path.join(path, "vocab.json"))
+            and os.path.isfile(os.path.join(path, "merges.txt"))):
+        from siss_tpu.models.clip_bpe import load_native_clip_tokenizer
+
+        return load_native_clip_tokenizer(path)
     try:
         from transformers import CLIPTokenizer
 
-        return CLIPTokenizer.from_pretrained(path_or_name or "openai/clip-vit-large-patch14",
-                                             local_files_only=True)
+        return CLIPTokenizer.from_pretrained(path, local_files_only=True)
     except Exception:
         return None
