@@ -46,8 +46,23 @@ def _pad(k):
     return ((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2))
 
 
+def _avg_pool_3x3(x, count_include_pad: bool):
+    """3×3 stride-1 pad-1 average pool. ``count_include_pad=False`` divides
+    by the number of VALID window elements (the pytorch-fid / torchmetrics
+    inception patch); True divides by 9 everywhere (torchvision)."""
+    if count_include_pad:
+        return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+                                   ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+                                   ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return summed / counts
+
+
 class InceptionA(nn.Module):
     pool_features: int
+    fid_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +72,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=_pad((3, 3)), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=_pad((3, 3)), name="branch3x3dbl_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = _avg_pool_3x3(x, count_include_pad=not self.fid_pool)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -75,6 +90,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -88,7 +104,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=_pad((1, 7)), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=_pad((7, 1)), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=_pad((1, 7)), name="branch7x7dbl_5")(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = _avg_pool_3x3(x, count_include_pad=not self.fid_pool)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -107,6 +123,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    pool_mode: str = "avg"  # torchvision; FID variant: 7b="avg_nocount", 7c="max"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -119,17 +137,29 @@ class InceptionE(nn.Module):
         bda = BasicConv2d(384, (1, 3), padding=_pad((1, 3)), name="branch3x3dbl_3a")(bd)
         bdb = BasicConv2d(384, (3, 1), padding=_pad((3, 1)), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        if self.pool_mode == "max":
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        else:
+            bp = _avg_pool_3x3(x, count_include_pad=self.pool_mode == "avg")
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3Features(nn.Module):
-    """torchvision inception_v3 trunk up to the 2048-d avgpool (no fc)."""
+    """InceptionV3 trunk up to the 2048-d avgpool (no fc), torchvision
+    parameter layout. ``variant="torchvision"`` reproduces torchvision
+    ``inception_v3`` pooling exactly; ``variant="fid"`` reproduces the
+    pytorch-fid / torchmetrics patched blocks (``count_include_pad=False``
+    average pools in A/C/7b, max pool in 7c's branch_pool) that the
+    reference's FID metric actually runs (``metrics/fid.py:10-69`` →
+    torchmetrics ``FrechetInceptionDistance`` → pt_inception weights)."""
+
+    variant: str = "fid"
 
     @nn.compact
     def __call__(self, x):
-        # x: [N,299,299,3] in [-1,1] (torchvision FID normalization)
+        fid = self.variant == "fid"
+        # x: [N,299,299,3] in [-1,1] (FID normalization)
         x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=_pad((3, 3)), name="Conv2d_2b_3x3")(x)
@@ -137,17 +167,17 @@ class InceptionV3Features(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, fid_pool=fid, name="Mixed_5b")(x)
+        x = InceptionA(64, fid_pool=fid, name="Mixed_5c")(x)
+        x = InceptionA(64, fid_pool=fid, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, fid_pool=fid, name="Mixed_6b")(x)
+        x = InceptionC(160, fid_pool=fid, name="Mixed_6c")(x)
+        x = InceptionC(160, fid_pool=fid, name="Mixed_6d")(x)
+        x = InceptionC(192, fid_pool=fid, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool_mode="avg_nocount" if fid else "avg", name="Mixed_7b")(x)
+        x = InceptionE(pool_mode="max" if fid else "avg", name="Mixed_7c")(x)
         return x.mean(axis=(1, 2))  # [N, 2048]
 
 
@@ -168,17 +198,20 @@ class RandomEmbedder(nn.Module):
 
 
 def make_inception_feature_fn(weights_path: Optional[str] = None,
-                              batch_input_range: str = "01"):
+                              batch_input_range: str = "01",
+                              variant: str = "fid"):
     """Returns ``(feature_fn, embedder_name)`` where ``feature_fn(imgs_nhwc)
     -> [N, D]`` and ``embedder_name`` is ``"inception_v3"`` or ``"rand"``.
 
-    ``weights_path``: a torchvision ``inception_v3`` state-dict (.pth/.bin/
-    .safetensors). When None/missing → RandomEmbedder (FID-rand).
+    ``weights_path``: a pt_inception / torchvision ``inception_v3``
+    state-dict (.pth/.bin/.safetensors). When None/missing →
+    RandomEmbedder (FID-rand). ``variant``: "fid" (torchmetrics/pytorch-fid
+    pooling — paper-comparable) or "torchvision".
     """
     if weights_path and os.path.exists(weights_path):
         from siss_tpu.utils.hf_convert import load_torch_state_dict
 
-        model = InceptionV3Features()
+        model = InceptionV3Features(variant=variant)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
         sd = load_torch_state_dict(weights_path)
         sd = {k: v for k, v in sd.items()
@@ -239,7 +272,9 @@ def build_fid_evaluator(fid_cfg: dict, real_dataset, max_real: int = 2048):
     (the reference caches real stats once, ``metrics/fid.py:23-41``)."""
     from siss_tpu.metrics.fid import FIDEvaluator
 
-    feature_fn, embedder = make_inception_feature_fn(fid_cfg.get("inception_weights"))
+    feature_fn, embedder = make_inception_feature_fn(
+        fid_cfg.get("inception_weights"),
+        variant=str(fid_cfg.get("inception_variant", "fid")))
     n = min(len(real_dataset), max_real)
     real = np.stack([(np.asarray(real_dataset[i]) + 1.0) / 2.0 for i in range(n)])
     return FIDEvaluator(feature_fn, real_images=real,
