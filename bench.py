@@ -35,7 +35,9 @@ import optax
 
 
 def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = False,
-             variant: str = "sd_v1"):
+             variant: str = "sd_v1", attention_impl: str = "auto",
+             remat_attention: bool = True, include_vae: bool = False,
+             fused_surgery: bool = True, grad_accum_dtype: str = None):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -47,9 +49,13 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
 
     if variant == "tiny":  # CPU smoke tests
         cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
-                                       "gradient_checkpointing": remat})
+                                       "gradient_checkpointing": remat,
+                                       "attention_impl": attention_impl,
+                                       "remat_attention": remat_attention})
     else:
-        cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat)
+        cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat,
+                                          attention_impl=attention_impl,
+                                          remat_attention=remat_attention)
     model = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -72,13 +78,55 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
         scaling_norm=750.0,
         grad_accum_steps=accum,
         t_min=999, t_max=1000,
-        grad_accum_dtype="bfloat16" if memory_efficient else "float32",
+        grad_accum_dtype=grad_accum_dtype or ("bfloat16" if memory_efficient else "float32"),
+        fused_surgery=fused_surgery,
     )
-    step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
-    state = TrainState.create(params, tx)
-
+    latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
     rng = np.random.default_rng(0)
     hw, ch, ctx = cfg.sample_size, cfg.in_channels, cfg.cross_attention_dim
+
+    if include_vae:
+        # end-to-end delete_sd step: fold the frozen VAE encode of BOTH
+        # pixel batches (512px for SD v1) into the jitted program, exactly
+        # as the task does (tasks/delete_sd.py::sd_step_core; reference
+        # encodes per step too, delete_sd.py:879-888)
+        from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
+
+        vcfg = (AutoencoderKLConfig.tiny() if variant == "tiny"
+                else AutoencoderKLConfig.sd_v1())
+        vae = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
+        px = hw * (2 ** (len(vcfg.block_out_channels) - 1))
+        vae_params = vae.init_params(jax.random.PRNGKey(1), image_size=px)
+        sf = 0.18215
+
+        def e2e_step(state, images, key, dyn):
+            k_a, k_d, k_step = jax.random.split(key, 3)
+            A, mb = images["all"].shape[:2]
+
+            def enc(imgs, k):
+                z = vae.apply({"params": vae_params},
+                              imgs.reshape(A * mb, px, px, 3).astype(jnp.bfloat16),
+                              k, method=vae.encode_sample)
+                return (z * sf).astype(jnp.float32).reshape(A, mb, hw, hw, ch)
+
+            batch = {
+                "all": enc(images["all"], k_a),
+                "deletion": enc(images["deletion"], k_d),
+                "conditioning": images["conditioning"],
+            }
+            return latent_step(state, batch, k_step, dyn)
+
+        step = jax.jit(e2e_step, donate_argnums=0)
+        state = TrainState.create(params, tx)
+        batch = {
+            "all": jnp.asarray(rng.normal(size=(accum, batch_size, px, px, 3)), jnp.float32),
+            "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, px, px, 3)), jnp.float32),
+            "conditioning": jnp.asarray(rng.normal(size=(accum, batch_size, 77, ctx)), jnp.float32),
+        }
+        return step, state, batch
+
+    step = jax.jit(latent_step, donate_argnums=0)
+    state = TrainState.create(params, tx)
     batch = {
         "all": jnp.asarray(rng.normal(size=(accum, batch_size, hw, hw, ch)), jnp.float32),
         "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, hw, hw, ch)), jnp.float32),
@@ -87,7 +135,8 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     return step, state, batch
 
 
-def build(batch_size: int, accum: int, image_size: int, remat: bool):
+def build(batch_size: int, accum: int, image_size: int, remat: bool,
+          fused_surgery: bool = True, grad_accum_dtype: str = "float32"):
     from siss_tpu.diffusion import NoiseSchedule
     from siss_tpu.models import UNet2D, UNet2DConfig
     from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
@@ -113,6 +162,8 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool):
         scaling_norm=500.0,
         grad_accum_steps=accum,
         t_min=999, t_max=1000,
+        fused_surgery=fused_surgery,
+        grad_accum_dtype=grad_accum_dtype,
     )
     step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
     state = TrainState.create(params, tx)
@@ -145,6 +196,25 @@ def main():
     p.add_argument("--memory-efficient", action="store_true",
                    help="sd only: bf16 Adam moments + bf16 grad accumulators "
                         "so the full SD state fits one v5e (~10.3G vs ~17.2G)")
+    p.add_argument("--no-fused-surgery", action="store_true",
+                   help="restore the literal sweep-by-sweep surgery epilogue "
+                        "(combine -> materialized global norm -> clip) for A/B "
+                        "against the fused single-pass default")
+    p.add_argument("--grad-accum-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="dtype of the two surgery gradient accumulator trees "
+                        "(default: float32; bfloat16 halves their HBM traffic "
+                        "and footprint)")
+    p.add_argument("--attention-impl", default="auto",
+                   choices=("auto", "einsum", "flash"),
+                   help="sd only: self-attention implementation (auto = Pallas "
+                        "flash kernel for the 4096/1024-token levels on TPU)")
+    p.add_argument("--no-remat-attention", action="store_true",
+                   help="sd only: with --remat, remat only the resnets and "
+                        "keep transformer blocks un-rematted")
+    p.add_argument("--include-vae", action="store_true",
+                   help="sd only: fold the frozen VAE encode of both 512px "
+                        "pixel batches into the step (end-to-end task shape)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -176,8 +246,15 @@ def main():
 
     def _build(accum, remat):
         if args.workload == "sd":
-            return build_sd(args.batch_size, accum, remat, args.memory_efficient)
-        return build(args.batch_size, accum, args.image_size, remat)
+            return build_sd(args.batch_size, accum, remat, args.memory_efficient,
+                            attention_impl=args.attention_impl,
+                            remat_attention=not args.no_remat_attention,
+                            include_vae=args.include_vae,
+                            fused_surgery=not args.no_fused_surgery,
+                            grad_accum_dtype=args.grad_accum_dtype)
+        return build(args.batch_size, accum, args.image_size, remat,
+                     fused_surgery=not args.no_fused_surgery,
+                     grad_accum_dtype=args.grad_accum_dtype or "float32")
 
     K = max(int(args.opt_steps_per_call), 1)
     flops_per_image = None

@@ -48,10 +48,23 @@ class UNet2DConditionConfig:
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     gradient_checkpointing: bool = False
+    # Attention implementation: "einsum" (materialized fp32 logits),
+    # "flash" (Pallas TPU flash-attention kernel, O(N) memory), or "auto"
+    # (flash for long self-attention on TPU, einsum otherwise). The 4096-
+    # and 1024-token self-attentions dominate the SD step's HBM traffic
+    # when materialized (512 MB of fp32 logits per forward at 64×64
+    # latents) — flash eliminates both the logits and their gradient.
+    attention_impl: str = "auto"
+    # With gradient_checkpointing, also remat the Transformer2D blocks
+    # (True = the reference's blanket ``enable_gradient_checkpointing``).
+    # False remats only the resnets — with flash attention the transformer
+    # residuals are small, and skipping their remat avoids recomputing
+    # every attention forward in the backward pass.
+    remat_attention: bool = True
 
     @classmethod
-    def sd_v1(cls, gradient_checkpointing: bool = False) -> "UNet2DConditionConfig":
-        return cls(gradient_checkpointing=gradient_checkpointing)
+    def sd_v1(cls, gradient_checkpointing: bool = False, **kw) -> "UNet2DConditionConfig":
+        return cls(gradient_checkpointing=gradient_checkpointing, **kw)
 
     @classmethod
     def tiny(cls) -> "UNet2DConditionConfig":
@@ -74,9 +87,23 @@ class CrossAttention(nn.Module):
     dim_head: int
     context_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # "einsum" | "flash" | "auto"
+
+    def _use_flash(self, is_self: bool, n_q: int) -> bool:
+        if self.impl == "flash":
+            return True
+        if self.impl != "auto":
+            return False
+        # auto: flash only where it pays — long self-attention, TPU,
+        # kernel-friendly shapes (seq multiple of the 128 block, head_dim
+        # within one 128-lane register tile). Cross-attention's 77-token
+        # kv side stays einsum: its logits are tiny.
+        return (is_self and n_q >= 512 and n_q % 128 == 0
+                and self.dim_head <= 128 and jax.default_backend() == "tpu")
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -90,9 +117,14 @@ class CrossAttention(nn.Module):
 
         q, k, v = split(q, Nq), split(k, Nk), split(v, Nk)
         scale = 1.0 / math.sqrt(self.dim_head)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if self._use_flash(is_self, Nq):
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, sm_scale=scale)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -117,14 +149,16 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     context_dim: int
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1")(h)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                               impl=self.attention_impl, name="attn1")(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, self.context_dim,
-                               dtype=self.dtype, name="attn2")(h, context)
+                               dtype=self.dtype, impl=self.attention_impl, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -139,6 +173,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -150,7 +185,8 @@ class Transformer2D(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.channels, self.heads, self.channels // self.heads, self.context_dim,
-                dtype=self.dtype, name=f"transformer_blocks_{d}",
+                dtype=self.dtype, attention_impl=self.attention_impl,
+                name=f"transformer_blocks_{d}",
             )(h, context)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(h)
@@ -180,7 +216,8 @@ class UNet2DCondition(nn.Module):
 
         if cfg.gradient_checkpointing:
             Res = nn.remat(ResnetBlock2D, prevent_cse=False)
-            Trans = nn.remat(Transformer2D, prevent_cse=False)
+            Trans = (nn.remat(Transformer2D, prevent_cse=False)
+                     if cfg.remat_attention else Transformer2D)
         else:
             Res, Trans = ResnetBlock2D, Transformer2D
 
@@ -201,6 +238,7 @@ class UNet2DCondition(nn.Module):
                     h = Trans(
                         out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
+                        attention_impl=cfg.attention_impl,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context)
                 skips.append(h)
@@ -214,6 +252,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
         h = Trans(mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                   groups=cfg.norm_num_groups, dtype=self.dtype,
+                  attention_impl=cfg.attention_impl,
                   name="mid_block_attentions_0")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
@@ -234,6 +273,7 @@ class UNet2DCondition(nn.Module):
                     h = Trans(
                         out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
+                        attention_impl=cfg.attention_impl,
                         name=f"up_blocks_{i}_attentions_{j}",
                     )(h, context)
             if not is_final:

@@ -83,12 +83,19 @@ class DeleteSD(Task):
 
         # ---- models (variant knob lets tests run the full task graph tiny)
         variant = str(cfg.get("model_variant", "sd_v1"))
+        attn_kw = {
+            "gradient_checkpointing": bool(cfg.gradient_checkpointing),
+            # flash self-attention + resnet-only remat are the measured SD
+            # throughput levers (BASELINE.md); defaults keep flash on
+            # ("auto" falls back to einsum off-TPU) and remat selective
+            "attention_impl": str(cfg.get("attention_impl", "auto")),
+            "remat_attention": bool(cfg.get("remat_attention", True)),
+        }
         if variant == "tiny":
-            unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
-                                                "gradient_checkpointing": bool(cfg.gradient_checkpointing)})
+            unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__, **attn_kw})
             vae_cfg, text_cfg = AutoencoderKLConfig.tiny(), CLIPTextConfig.tiny()
         else:
-            unet_cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=bool(cfg.gradient_checkpointing))
+            unet_cfg = UNet2DConditionConfig.sd_v1(**attn_kw)
             vae_cfg, text_cfg = AutoencoderKLConfig.sd_v1(), CLIPTextConfig.sd_v1()
         unet = UNet2DCondition(unet_cfg, dtype=dtype)
         vae = AutoencoderKL(vae_cfg, dtype=dtype)

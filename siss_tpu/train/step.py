@@ -117,6 +117,16 @@ class DeletionStepConfig:
     # precision cost, and is what lets single-chip SD fit in 16G HBM
     # together with adam_mu_dtype=bfloat16 (see BASELINE.md).
     grad_accum_dtype: str = "float32"
+    # Single-pass surgery epilogue: computes ‖g_x‖², ‖g_a‖², ⟨g_x,g_a⟩ in
+    # ONE read over the two gradient trees and derives the post-surgery
+    # clip norm in closed form (‖g_x − s·g_a‖² = ‖g_x‖² − 2s⟨g_x,g_a⟩ +
+    # s²‖g_a‖²), so the combined gradient is never materialized for its
+    # own norm reduction — the combine, clip scale and optimizer update
+    # fuse into a single elementwise HBM pass per leaf. Mathematically
+    # identical to the reference's sequence (combine → global-norm →
+    # clip → step, ``delete_celeb.py:746-767``) up to fp32 reduction
+    # order; False restores the literal sweep-by-sweep ordering.
+    fused_surgery: bool = True
 
     def __post_init__(self):
         from siss_tpu.losses.deletion import LOSS_FUNCTIONS
@@ -394,6 +404,42 @@ def build_deletion_train_step(
 
         if cfg.is_scalar_path:
             final_grad = g_x
+            final_grad, pre_clip_norm = clip_by_global_norm(final_grad, cfg.max_grad_norm)
+        elif cfg.fused_surgery:
+            # ONE fp32 read pass over both gradient trees yields all three
+            # surgery scalars; every downstream quantity (scaling factor,
+            # post-combine clip norm) is closed-form in them, so the
+            # combine × clip × cast chain below is a single fused
+            # elementwise pass with no intervening reduction barrier.
+            lx = jax.tree_util.tree_leaves(g_x)
+            la = jax.tree_util.tree_leaves(g_a)
+            f32 = jnp.float32
+            norm_x_sq = sum(jnp.sum(x.astype(f32) ** 2) for x in lx)
+            norm_a_sq = sum(jnp.sum(a.astype(f32) ** 2) for a in la)
+            dot_xa = sum(jnp.sum(x.astype(f32) * a.astype(f32)) for x, a in zip(lx, la))
+            norm_x = jnp.sqrt(norm_x_sq)
+            norm_a = jnp.sqrt(norm_a_sq)
+            if cfg.loss_fn == "erasediff":
+                scaling = cfg.eta - dot_xa / norm_a_sq
+                scaling = -jnp.maximum(scaling, 0.0)
+            else:
+                scaling = cfg.scaling_norm / norm_a
+            if cfg.guard_inf_scaling:
+                scaling = jnp.where(jnp.isfinite(scaling), scaling, 0.0)
+            # Post-combine clip norm as reduce(combine(x, a)): XLA fuses the
+            # combine into the reduction's read pass, so the combined tree
+            # is still never written to HBM for its own norm (the closed
+            # form ‖x‖² − 2s⟨x,a⟩ + s²‖a‖² would save this read pass too,
+            # but suffers fp32 cancellation when the surgery nearly zeroes
+            # the gradient — exact numerics win here).
+            combined = jax.tree.map(lambda x, a: x.astype(f32) - scaling * a.astype(f32),
+                                    g_x, g_a)
+            pre_clip_norm = global_norm(combined)
+            clip_scale = jnp.minimum(1.0, cfg.max_grad_norm / (pre_clip_norm + 1e-6))
+            final_grad = jax.tree.map(lambda c: c * clip_scale, combined)
+            metrics["gradient/norm_loss_x"] = norm_x
+            metrics["gradient/norm_loss_a"] = norm_a
+            metrics["gradient/scaling_factor"] = scaling
         else:
             norm_x = global_norm(g_x)
             norm_a = global_norm(g_a)
@@ -411,8 +457,7 @@ def build_deletion_train_step(
             metrics["gradient/norm_loss_x"] = norm_x
             metrics["gradient/norm_loss_a"] = norm_a
             metrics["gradient/scaling_factor"] = scaling
-
-        final_grad, pre_clip_norm = clip_by_global_norm(final_grad, cfg.max_grad_norm)
+            final_grad, pre_clip_norm = clip_by_global_norm(final_grad, cfg.max_grad_norm)
         metrics["gradient/pre_clip_norm"] = pre_clip_norm
 
         final_grad = jax.tree.map(lambda g, p: g.astype(p.dtype), final_grad, state.params)

@@ -190,3 +190,30 @@ def test_pretrain_step_decreases_loss():
         state, m = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("loss_fn", ["importance_sampling_with_mixture",
+                                     "double_forward_with_neg_del", "erasediff"])
+def test_fused_surgery_equivalence(setup, loss_fn):
+    """The single-pass surgery epilogue (closed-form post-combine clip norm,
+    no materialized combined tree before its norm) must reproduce the
+    literal sweep-by-sweep ordering to fp32 tolerance for every
+    surgery-path loss family."""
+    sched, params, tx, batch = setup
+    lp = (("lambd", 0.5),) if loss_fn == "importance_sampling_with_mixture" else ()
+    outs = {}
+    for fused in (True, False):
+        cfg = DeletionStepConfig(loss_fn=loss_fn, loss_params=lp, scaling_norm=5.0,
+                                 grad_accum_steps=2, fused_surgery=fused)
+        step = jax.jit(build_deletion_train_step(linear_apply, sched, tx, cfg))
+        state = TrainState.create(params, tx)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7), {})
+        outs[fused] = (new_state, metrics)
+    sf, mf = outs[True]
+    ss, ms = outs[False]
+    for k in ("gradient/norm_loss_x", "gradient/norm_loss_a",
+              "gradient/scaling_factor", "gradient/pre_clip_norm"):
+        np.testing.assert_allclose(float(mf[k]), float(ms[k]), rtol=1e-5, atol=1e-7), k
+    for a, b in zip(jax.tree_util.tree_leaves(sf.params),
+                    jax.tree_util.tree_leaves(ss.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
