@@ -90,16 +90,17 @@ class CrossAttention(nn.Module):
     impl: str = "auto"  # "einsum" | "flash" | "auto"
 
     def _use_flash(self, is_self: bool, n_q: int) -> bool:
+        # kernel-compatible sites only: self-attention, seq a multiple of
+        # the 128 block, head_dim within one 128-lane register tile.
+        # Cross-attention's 77-token kv side always stays einsum: its
+        # logits are tiny and the kernel doesn't block ragged kv.
+        compatible = is_self and n_q % 128 == 0 and self.dim_head <= 128
         if self.impl == "flash":
-            return True
+            return compatible
         if self.impl != "auto":
             return False
-        # auto: flash only where it pays — long self-attention, TPU,
-        # kernel-friendly shapes (seq multiple of the 128 block, head_dim
-        # within one 128-lane register tile). Cross-attention's 77-token
-        # kv side stays einsum: its logits are tiny.
-        return (is_self and n_q >= 512 and n_q % 128 == 0
-                and self.dim_head <= 128 and jax.default_backend() == "tpu")
+        # auto: flash only where it pays — long self-attention on TPU
+        return compatible and n_q >= 512 and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:

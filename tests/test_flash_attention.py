@@ -1,0 +1,57 @@
+"""Flash-attention path: wiring rules everywhere, numerics on real TPU.
+
+The Pallas flash kernel only exists for TPU, so the value/grad parity test
+self-skips off-TPU (tests force the CPU platform); the TPU campaign runs
+it for real (BASELINE.md records the measured throughput effect). The
+wiring rules — which sites may use flash — are platform-independent and
+always tested.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siss_tpu.models.unet2d_cond import CrossAttention
+
+
+def test_flash_wiring_rules():
+    """flash only on self-attention with 128-divisible seq and head_dim
+    ≤ 128; cross-attention and ragged shapes always einsum."""
+    att = CrossAttention(320, 8, 40, impl="flash")
+    assert att._use_flash(is_self=True, n_q=4096)
+    assert att._use_flash(is_self=True, n_q=128)
+    assert not att._use_flash(is_self=False, n_q=4096)   # cross-attn
+    assert not att._use_flash(is_self=True, n_q=77)      # ragged seq
+    assert not CrossAttention(2048, 8, 160, impl="flash")._use_flash(True, 4096)
+    assert not CrossAttention(320, 8, 40, impl="einsum")._use_flash(True, 4096)
+    # auto: needs TPU backend + long seq
+    auto = CrossAttention(320, 8, 40, impl="auto")
+    on_tpu = jax.default_backend() == "tpu"
+    assert auto._use_flash(True, 4096) == on_tpu
+    assert not auto._use_flash(True, 128)  # below the pay-off threshold
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas flash-attention kernel is TPU-only")
+@pytest.mark.parametrize("N,d,heads", [(4096, 40, 8), (1024, 80, 8)])
+def test_flash_matches_einsum_on_tpu(N, d, heads):
+    q_dim = d * heads
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, N, q_dim)), jnp.bfloat16)
+    outs = {}
+    for impl in ("einsum", "flash"):
+        m = CrossAttention(q_dim, heads, d, dtype=jnp.bfloat16, impl=impl)
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return (m.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+        val, grad = jax.jit(jax.value_and_grad(loss))(params)
+        gn = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                          for g in jax.tree_util.tree_leaves(grad)))
+        outs[impl] = (float(val), float(gn))
+    ev, eg = outs["einsum"]
+    fv, fg = outs["flash"]
+    assert abs(ev - fv) / abs(ev) < 2e-2
+    assert abs(eg - fg) / abs(eg) < 2e-2
