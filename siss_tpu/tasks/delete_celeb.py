@@ -88,6 +88,8 @@ class DeleteCeleb(Task):
             t_max=int(cfg.deletion.get("t_max", 1000)),
             use_ema=bool(cfg.ema.use_ema),
             batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
+            grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
+            fused_surgery=bool(cfg.deletion.get("fused_surgery", True)),
         )
         step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
         state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)

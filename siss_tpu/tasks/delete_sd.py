@@ -129,7 +129,12 @@ class DeleteSD(Task):
         def vae_decode(p, z):
             return vae.apply({"params": p}, z, method=vae.decode)
 
-        tokenizer = load_clip_tokenizer()
+        # the SD checkpoint ships its own tokenizer/ subfolder (the
+        # reference loads it from there, ``delete_sd.py:425-430``); fall
+        # back to a hub-cached CLIP tokenizer, then to embeddings-only
+        tok_dir = os.path.join(str(cfg.pretrained_model_name_or_path), "tokenizer")
+        tokenizer = (load_clip_tokenizer(tok_dir) if os.path.isdir(tok_dir)
+                     else load_clip_tokenizer())
         vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
         pipeline = StableDiffusionPipeline(
             unet_apply=eps_apply, unet_params=unet_params,
@@ -187,6 +192,7 @@ class DeleteSD(Task):
             input_perturbation=float(cfg.get("input_perturbation") or 0.0),
             batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
             grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
+            fused_surgery=bool(cfg.deletion.get("fused_surgery", True)),
         )
         latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
 
