@@ -217,3 +217,38 @@ def test_fused_surgery_equivalence(setup, loss_fn):
     for a, b in zip(jax.tree_util.tree_leaves(sf.params),
                     jax.tree_util.tree_leaves(ss.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_accumulator_tolerance(setup):
+    """Lever study (BASELINE.md): bf16 surgery accumulators vs fp32 at
+    accum 4. The surgery scalars (norms, scaling factor) must stay within
+    bf16's ~0.4% relative error and the parameter update direction must
+    agree to first order — quantifies the 'grad_accum_dtype: bfloat16'
+    memory/bandwidth lever's accuracy cost."""
+    sched, params, tx, _ = setup
+    rng = np.random.default_rng(5)
+    batch = {
+        "all": jnp.asarray(rng.normal(size=(4, MB, H, W, C)), jnp.float32),
+        "deletion": jnp.asarray(rng.normal(size=(4, MB, H, W, C)), jnp.float32),
+    }
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = DeletionStepConfig(loss_fn="importance_sampling_with_mixture",
+                                 loss_params=(("lambd", 0.5),), scaling_norm=5.0,
+                                 grad_accum_steps=4, grad_accum_dtype=dt)
+        step = jax.jit(build_deletion_train_step(linear_apply, sched, tx, cfg))
+        state = TrainState.create(params, tx)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(11), {})
+        outs[dt] = (new_state, metrics)
+    (s32, m32), (s16, m16) = outs["float32"], outs["bfloat16"]
+    for k in ("gradient/norm_loss_x", "gradient/norm_loss_a", "gradient/scaling_factor"):
+        rel = abs(float(m16[k]) - float(m32[k])) / (abs(float(m32[k])) + 1e-12)
+        assert rel < 1e-2, (k, rel)
+    for a, b, p in zip(jax.tree_util.tree_leaves(s16.params),
+                       jax.tree_util.tree_leaves(s32.params),
+                       jax.tree_util.tree_leaves(params)):
+        # compare the UPDATE (param delta), not the params, so the check
+        # is meaningful even for small steps
+        da, db = np.asarray(a - p), np.asarray(b - p)
+        denom = np.abs(db).max() + 1e-12
+        assert np.abs(da - db).max() / denom < 5e-2
