@@ -222,7 +222,9 @@ class DeleteSD(Task):
             }
             return latent_step(state, batch, k_step, dyn)
 
-        sd_step = jax.jit(sd_step_core)
+        # donate the carried TrainState: the SD state is ~10-17G — without
+        # donation the update holds TWO copies and single-chip SD cannot fit
+        sd_step = jax.jit(sd_step_core, donate_argnums=0)
         state = TrainState.create(unet_params, tx, use_ema=step_cfg.use_ema)
 
         # ---- data streams: keep infinite; memorized repeated constant
@@ -372,7 +374,8 @@ class DeleteSD(Task):
             from siss_tpu.parallel import global_folded_microbatches_from_local
             from siss_tpu.train import fold_steps
 
-            multi_fn = jax.jit(fold_steps(lambda st, b, k: sd_step_core(st, b, k, {})))
+            multi_fn = jax.jit(fold_steps(lambda st, b, k: sd_step_core(st, b, k, {})),
+                              donate_argnums=0)
 
         guard = PreemptionGuard().install()
         t_last = time.time()

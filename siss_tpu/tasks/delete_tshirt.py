@@ -79,7 +79,9 @@ class DeleteTShirt(Task):
             grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
             fused_surgery=bool(cfg.deletion.get("fused_surgery", True)),
         )
-        step_fn = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg))
+        raw_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
+        # donate the carried TrainState (in-place update, no 2x state peak)
+        step_fn = jax.jit(raw_step, donate_argnums=0)
         state = TrainState.create(params, tx, use_ema=step_cfg.use_ema)
 
         # ---- data streams (reference ``delete_tshirt.py:272-288``)
@@ -233,7 +235,8 @@ class DeleteTShirt(Task):
             from siss_tpu.parallel import global_folded_microbatches_from_local
             from siss_tpu.train import fold_steps
 
-            multi_fn = jax.jit(fold_steps(lambda st, b, k: step_fn(st, b, k, {})))
+            multi_fn = jax.jit(fold_steps(lambda st, b, k: raw_step(st, b, k, {})),
+                              donate_argnums=0)
 
         guard = PreemptionGuard().install()
         t_last = time.time()

@@ -76,7 +76,7 @@ class TrainUnconditional(Task):
         else:
             from siss_tpu.train import fold_steps
 
-            step_fn = jax.jit(fold_steps(one_step))
+            step_fn = jax.jit(fold_steps(one_step), donate_argnums=0)
 
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
 
