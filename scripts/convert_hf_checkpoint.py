@@ -90,12 +90,16 @@ def convert_clip(src: str, dst: str):
         tparams = convert_clip_text(sd, text.init_params(jax.random.PRNGKey(1)))
         ckptr.save(os.path.abspath(os.path.join(dst, "text")), tparams)
 
-    # anchors need text_projection + tokenizer
+    # anchors need text_projection + tokenizer (native BPE when the
+    # snapshot ships vocab.json/merges.txt, which CLIP snapshots do)
     try:
         import jax.numpy as jnp
-        from transformers import CLIPTokenizer
 
-        tok = CLIPTokenizer.from_pretrained(src, local_files_only=True)
+        from siss_tpu.models.clip_text import load_clip_tokenizer
+
+        tok = load_clip_tokenizer(src)
+        if tok is None:
+            raise FileNotFoundError(f"no vocab.json/merges.txt under {src}")
         proj = np.asarray(sd["text_projection.weight"]).T  # [hidden, proj]
 
         def embed(prompt):
