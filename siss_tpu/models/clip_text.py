@@ -118,9 +118,15 @@ def load_clip_tokenizer(path_or_name: Optional[str] = None):
     path = path_or_name or "openai/clip-vit-large-patch14"
     if (os.path.isfile(os.path.join(path, "vocab.json"))
             and os.path.isfile(os.path.join(path, "merges.txt"))):
-        from siss_tpu.models.clip_bpe import load_native_clip_tokenizer
+        try:
+            from siss_tpu.models.clip_bpe import load_native_clip_tokenizer
 
-        return load_native_clip_tokenizer(path)
+            return load_native_clip_tokenizer(path)
+        except Exception as e:
+            # malformed vocab files or a missing optional dep (`regex`)
+            # must degrade to the HF / embeddings-only path, not abort the
+            # task at startup (ADVICE r3)
+            print(f"[clip] native tokenizer load failed ({e}); falling back")
     try:
         from transformers import CLIPTokenizer
 

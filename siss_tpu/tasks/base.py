@@ -24,6 +24,20 @@ from siss_tpu.parallel import MeshConfig, make_mesh
 from siss_tpu.utils import Tracker
 
 
+def boundary_crossed(prev_step: int, step: int, every) -> bool:
+    """True when the half-open interval ``(prev_step, step]`` contains a
+    multiple of ``every`` — the step-frequency test that stays correct
+    when the loop advances ``steps_per_call`` optimizer steps at a time
+    (``step % every == 0`` would silently skip gates whenever the folded
+    boundary lands past the multiple). Falsy ``every`` disables the gate.
+    With ``prev_step = step - 1`` this reduces exactly to
+    ``step % every == 0`` (including firing at step 0 with prev -1)."""
+    if not every:
+        return False
+    every = int(every)
+    return (step // every) > (prev_step // every)
+
+
 class Task(abc.ABC):
     def __init__(self, cfg: Config):
         self.cfg = cfg

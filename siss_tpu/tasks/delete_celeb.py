@@ -28,7 +28,7 @@ from siss_tpu.evaluate import Evaluator
 from siss_tpu.metrics import MembershipLoss
 from siss_tpu.metrics.likelihood import LikelihoodEvaluator
 from siss_tpu.parallel import shard_params_fsdp
-from siss_tpu.tasks.base import Task
+from siss_tpu.tasks.base import Task, boundary_crossed
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
 from siss_tpu.utils import CheckpointManager
@@ -184,7 +184,13 @@ class DeleteCeleb(Task):
             noisy = q_sample(schedule, jnp.broadcast_to(clean_image, (n, *clean_image.shape)), noise, ts)
             return evaluator.denoise_images(eval_params, noisy, int(timestep))
 
-        def log_metrics(step):
+        def log_metrics(step, prev_step=None):
+            # prev_step: the step count at the previous metrics visit; the
+            # inner step_frequency gates fire when a multiple was crossed in
+            # (prev_step, step] — with steps_per_call>1 the visited step is
+            # generally NOT itself a multiple (ADVICE r3)
+            if prev_step is None:
+                prev_step = step - 1
             eval_params = state.ema.params if state.ema is not None else state.params
             m = {}
             imgs = evaluator.sample_images(eval_params, int(cfg.eval_batch_size), set_generator=True)
@@ -201,16 +207,16 @@ class DeleteCeleb(Task):
                     int(cfg.eval_batch_size), jax.random.PRNGKey(int(cfg.random_seed)))
                 tracker.log_images(f"Target Image Generations (t={int(inj_cfg.timestep)})",
                                    Evaluator.make_grid_from_images(gen), step=step)
-            if likelihood is not None and step % int(likelihood_cfg.step_frequency) == 0:
+            if likelihood is not None and boundary_crossed(prev_step, step, likelihood_cfg.step_frequency):
                 bpd, _, _ = likelihood.evaluate_likelihood(eval_params, target_image[None])
                 m["metrics/likelihood"] = float(np.asarray(bpd)[0])
-            if membership is not None and step % int(membership_cfg.step_frequency) == 0:
+            if membership is not None and boundary_crossed(prev_step, step, membership_cfg.step_frequency):
                 ts = [int(t) for t in membership_cfg.timesteps]
                 for t, (a, d) in zip(ts, membership.compute_membership_losses(eval_params, ts)):
                     m[f"membership_loss/all_membership_loss_t={t}"] = a
                     m[f"membership_loss/deletion_membership_loss_t={t}"] = d
                     m[f"membership_loss/membership_ratio_t={t}"] = d / a if a else float("nan")
-            if fid_eval is not None and fid_cfg.step_frequency and step % int(fid_cfg.step_frequency) == 0:
+            if fid_eval is not None and boundary_crossed(prev_step, step, fid_cfg.step_frequency):
                 n = int(fid_cfg.num_imgs_to_generate)
                 batch_n = int(fid_cfg.batch_size)
                 done = 0
@@ -327,10 +333,9 @@ class DeleteCeleb(Task):
                 m["images_per_sec"] = k_done * bs * accum / dt
                 tracker.log(m, step=global_step + i + 1)
             prev_step, global_step = global_step, global_step + k_done
-            fired = (lambda every: bool(every) and
-                     (global_step // int(every)) > (prev_step // int(every)))
+            fired = lambda every: boundary_crossed(prev_step, global_step, every)  # noqa: E731
             if int(cfg.sampling_steps) and fired(cfg.sampling_steps):
-                log_metrics(global_step)
+                log_metrics(global_step, prev_step)
             if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
                 ckpt.save_bundle(global_step, {
                     "state": state, "unet": state.params,

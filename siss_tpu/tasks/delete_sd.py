@@ -34,7 +34,7 @@ from siss_tpu.parallel import (
     process_batch_slice,
     shard_params_fsdp,
 )
-from siss_tpu.tasks.base import Task
+from siss_tpu.tasks.base import Task, boundary_crossed
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.utils import CheckpointManager
 from siss_tpu.utils.preemption import PreemptionGuard
@@ -431,8 +431,7 @@ class DeleteSD(Task):
                 # step key = image count (reference ``delete_sd.py:1022``)
                 tracker.log(m, step=img_count + (i + 1) * bs * accum)
             img_count += k_done * bs * accum
-            fired = (lambda every: bool(every) and
-                     (global_step // int(every)) > (prev_step // int(every)))
+            fired = lambda every: boundary_crossed(prev_step, global_step, every)  # noqa: E731
             # validation_steps=1 reproduces the reference's every-step
             # log_validation (``delete_sd.py:1178-1188``); real SD runs
             # raise it so the 50-step CFG sampling doesn't dominate

@@ -27,7 +27,7 @@ from siss_tpu.parallel import (
     process_batch_slice,
     shard_params_fsdp,
 )
-from siss_tpu.tasks.base import Task
+from siss_tpu.tasks.base import Task, boundary_crossed
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
 from siss_tpu.train.optim import build_optimizer
 from siss_tpu.utils import CheckpointManager
@@ -162,7 +162,12 @@ class DeleteTShirt(Task):
         deletion_steps_logged = False
         ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
 
-        def log_metrics(step):
+        def log_metrics(step, prev_step=None):
+            # inner step_frequency gates fire on boundary crossings in
+            # (prev_step, step]; with steps_per_call>1 the visited step is
+            # generally not itself a multiple (ADVICE r3)
+            if prev_step is None:
+                prev_step = step - 1
             nonlocal deletion_steps_logged
             eval_params = state.ema.params if state.ema is not None else state.params
             imgs = evaluator.sample_images(eval_params, int(cfg.eval_images), set_generator=True)
@@ -172,17 +177,17 @@ class DeleteTShirt(Task):
             if freq == 0.0 and not deletion_steps_logged:
                 tracker.log_summary("deletion_steps", step)  # reference :492-498
                 deletion_steps_logged = True
-            if likelihood is not None and step % int(likelihood_cfg.step_frequency) == 0:
+            if likelihood is not None and boundary_crossed(prev_step, step, likelihood_cfg.step_frequency):
                 forget_img = jnp.asarray(dataset_deletion[0])[None]
                 bpd, _, nfe = likelihood.evaluate_likelihood(eval_params, forget_img)
                 m["metrics/likelihood"] = float(np.asarray(bpd).mean())
-            if membership is not None and step % int(membership_cfg.step_frequency) == 0:
+            if membership is not None and boundary_crossed(prev_step, step, membership_cfg.step_frequency):
                 for t, (a, d) in zip(membership_cfg.timesteps,
                                      membership.compute_membership_losses(eval_params, [int(t) for t in membership_cfg.timesteps])):
                     m[f"membership_loss/all_t={t}"] = a
                     m[f"membership_loss/deletion_t={t}"] = d
                     m[f"membership_loss/ratio_t={t}"] = d / a if a else float("nan")
-            if inception is not None and step % int(is_cfg.step_frequency) == 0:
+            if inception is not None and boundary_crossed(prev_step, step, is_cfg.step_frequency):
                 n = int(is_cfg.num_imgs_to_generate)
                 done = imgs
                 while len(done) < n:
@@ -289,10 +294,9 @@ class DeleteTShirt(Task):
                 m["images_per_sec"] = k_done * bs * accum / dt
                 tracker.log(m, step=global_step + i + 1)
             prev_step, global_step = global_step, global_step + k_done
-            fired = (lambda every: bool(every) and
-                     (global_step // int(every)) > (prev_step // int(every)))
+            fired = lambda every: boundary_crossed(prev_step, global_step, every)  # noqa: E731
             if int(cfg.sampling_steps) and fired(cfg.sampling_steps):
-                log_metrics(global_step)
+                log_metrics(global_step, prev_step)
             if cfg.get("checkpointing_steps") and fired(cfg.checkpointing_steps):
                 ckpt.save_bundle(global_step, {
                     "state": state, "unet": state.params,
