@@ -49,7 +49,10 @@ class Task(abc.ABC):
     # ------------------------------------------------------------- helpers
     def make_mesh(self):
         mcfg = self.cfg.get("mesh")
-        mesh_cfg = MeshConfig(data=int(mcfg.get("data", -1)), fsdp=int(mcfg.get("fsdp", 1))) if mcfg else MeshConfig()
+        mesh_cfg = (MeshConfig(data=int(mcfg.get("data", -1)),
+                               fsdp=int(mcfg.get("fsdp", 1)),
+                               tensor=int(mcfg.get("tensor", 1)))
+                    if mcfg else MeshConfig())
         return make_mesh(mesh_cfg)
 
     def make_tracker(self) -> Tracker:
