@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-4 SD extras: einsum-attention variants the first campaign pass
+# motivated (flash measured slower at SD's 40/80 head_dim — lane padding),
+# plus no-remat shapes to see whether bs1 fits without recompute.
+set -u
+OUT=${OUT:-/root/repo/runs/bench_sd_r4.jsonl}
+cd /root/repo
+
+run() {
+  tag="$1"; shift
+  echo "[extras] $tag: bench.py $*" >&2
+  line=$(timeout 2400 python bench.py --workload sd --memory-efficient "$@" 2>/tmp/bench_sd_err.log | tail -1)
+  rc=$?
+  if [ -n "$line" ] && [ $rc -eq 0 ]; then
+    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
+  else
+    err=$(tail -c 400 /tmp/bench_sd_err.log | tr '\n' ' ' | tr '"' "'")
+    echo "{\"tag\": \"$tag\", \"rc\": $rc, \"error\": \"$err\"}" >> "$OUT"
+  fi
+}
+
+# attention fwd kept (resnets still rematted), einsum logits
+run einsum_noremat_attn_bs1 --batch-size 1 --accum 16 --remat --attention-impl einsum --no-remat-attention
+# no remat at all at bs1 (does it fit? recompute fully avoided)
+run einsum_noremat_bs1 --batch-size 1 --accum 16 --attention-impl einsum
+# larger microbatch with einsum
+run einsum_bs2 --batch-size 2 --accum 8 --remat --attention-impl einsum
+run einsum_noremat_attn_bs2 --batch-size 2 --accum 8 --remat --attention-impl einsum --no-remat-attention
+echo "[extras] done" >&2
