@@ -37,7 +37,8 @@ import optax
 def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = False,
              variant: str = "sd_v1", attention_impl: str = "auto",
              remat_attention: bool = True, include_vae: bool = False,
-             fused_surgery: bool = True, grad_accum_dtype: str = None):
+             fused_surgery: bool = True, grad_accum_dtype: str = None,
+             remat_policy: str = None):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -51,11 +52,13 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
         cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
                                        "gradient_checkpointing": remat,
                                        "attention_impl": attention_impl,
-                                       "remat_attention": remat_attention})
+                                       "remat_attention": remat_attention,
+                                       "remat_policy": remat_policy})
     else:
         cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat,
                                           attention_impl=attention_impl,
-                                          remat_attention=remat_attention)
+                                          remat_attention=remat_attention,
+                                          remat_policy=remat_policy)
     model = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -212,6 +215,11 @@ def main():
     p.add_argument("--no-remat-attention", action="store_true",
                    help="sd only: with --remat, remat only the resnets and "
                         "keep transformer blocks un-rematted")
+    p.add_argument("--remat-policy", default=None,
+                   choices=("dots", "dots_no_batch"),
+                   help="sd only: selective remat policy for checkpointed "
+                        "blocks (save matmul/conv outputs; recompute only "
+                        "the cheap elementwise chains)")
     p.add_argument("--include-vae", action="store_true",
                    help="sd only: fold the frozen VAE encode of both 512px "
                         "pixel batches into the step (end-to-end task shape)")
@@ -244,22 +252,31 @@ def main():
         except Exception:
             return 0.0
 
-    def _build(accum, remat):
+    def _build(accum, remat, anchor=False):
         if args.workload == "sd":
+            # the FLOP anchor always uses einsum attention: XLA's cost
+            # analysis cannot see inside Pallas kernels (flash programs
+            # report fewer FLOPs for the same math), and the reference's
+            # torch step materializes the logits einsum-style — so the
+            # einsum program is the canonical algorithmic-work denominator
+            # for every attention_impl variant
             return build_sd(args.batch_size, accum, remat, args.memory_efficient,
-                            attention_impl=args.attention_impl,
+                            attention_impl="einsum" if anchor else args.attention_impl,
                             remat_attention=not args.no_remat_attention,
                             include_vae=args.include_vae,
                             fused_surgery=not args.no_fused_surgery,
-                            grad_accum_dtype=args.grad_accum_dtype)
+                            grad_accum_dtype=args.grad_accum_dtype,
+                            remat_policy=args.remat_policy)
         return build(args.batch_size, accum, args.image_size, remat,
                      fused_surgery=not args.no_fused_surgery,
                      grad_accum_dtype=args.grad_accum_dtype or "float32")
 
     K = max(int(args.opt_steps_per_call), 1)
     flops_per_image = None
-    if args.accum != 1 or args.remat or K > 1:
-        anchor_step, anchor_state, anchor_batch = _build(1, False)
+    needs_anchor = (args.accum != 1 or args.remat or K > 1
+                    or (args.workload == "sd" and args.attention_impl != "einsum"))
+    if needs_anchor:
+        anchor_step, anchor_state, anchor_batch = _build(1, False, anchor=True)
         # the anchor DOES device-compile (cost analysis needs the compiled
         # executable), but its accum=1/no-remat program is the smallest
         # variant and everything is deleted before the benched build below

@@ -26,7 +26,14 @@ def capture(args) -> str:
 
     import bench
 
-    step, state, batch = bench.build(args.batch_size, args.accum, args.image_size, False)
+    if args.workload == "sd":
+        step, state, batch = bench.build_sd(
+            args.batch_size, args.accum, remat=args.remat, memory_efficient=True,
+            attention_impl=args.attention_impl,
+            remat_attention=not args.no_remat_attention)
+    else:
+        step, state, batch = bench.build(args.batch_size, args.accum, args.image_size,
+                                         args.remat)
     key = jax.random.PRNGKey(0)
     state, _ = step(state, batch, key, {})
     jax.block_until_ready(state.params)
@@ -91,6 +98,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--workload", choices=("celeb", "sd"), default="celeb")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--attention-impl", default="auto",
+                   choices=("auto", "einsum", "flash"))
+    p.add_argument("--no-remat-attention", action="store_true")
     p.add_argument("--steps", type=int, default=None,
                    help="capture: number of steps (default 3); summarize: "
                         "override the trace-inferred step count")

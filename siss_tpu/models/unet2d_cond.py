@@ -61,6 +61,13 @@ class UNet2DConditionConfig:
     # residuals are small, and skipping their remat avoids recomputing
     # every attention forward in the backward pass.
     remat_attention: bool = True
+    # Selective rematerialisation policy for the checkpointed blocks:
+    # None = recompute everything (the reference's blanket behavior);
+    # "dots" = save matmul/conv outputs, recompute only the cheap
+    # elementwise/norm chains (jax.checkpoint_policies.checkpoint_dots) —
+    # trades a little activation memory for skipping the expensive MXU ops
+    # in the recompute pass. Identical math either way.
+    remat_policy: Optional[str] = None
 
     @classmethod
     def sd_v1(cls, gradient_checkpointing: bool = False, **kw) -> "UNet2DConditionConfig":
@@ -216,8 +223,15 @@ class UNet2DCondition(nn.Module):
         emb = TimestepEmbedding(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
 
         if cfg.gradient_checkpointing:
-            Res = nn.remat(ResnetBlock2D, prevent_cse=False)
-            Trans = (nn.remat(Transformer2D, prevent_cse=False)
+            policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
+            elif cfg.remat_policy == "dots_no_batch":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy is not None:
+                raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+            Res = nn.remat(ResnetBlock2D, prevent_cse=False, policy=policy)
+            Trans = (nn.remat(Transformer2D, prevent_cse=False, policy=policy)
                      if cfg.remat_attention else Transformer2D)
         else:
             Res, Trans = ResnetBlock2D, Transformer2D

@@ -90,6 +90,7 @@ class DeleteSD(Task):
             # ("auto" falls back to einsum off-TPU) and remat selective
             "attention_impl": str(cfg.get("attention_impl", "auto")),
             "remat_attention": bool(cfg.get("remat_attention", True)),
+            "remat_policy": cfg.get("remat_policy") or None,
         }
         if variant == "tiny":
             unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__, **attn_kw})

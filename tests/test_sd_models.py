@@ -45,6 +45,15 @@ def test_cond_unet_gradient_checkpointing_equivalence():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    # selective remat policies change only WHAT is saved vs recomputed,
+    # never the math — gradients must match the unrematted model too
+    for policy in ("dots", "dots_no_batch"):
+        cfg_pol = UNet2DConditionConfig(**{**cfg.__dict__, "gradient_checkpointing": True,
+                                           "remat_policy": policy})
+        v3, g3 = jax.value_and_grad(loss(UNet2DCondition(cfg_pol)))(params)
+        np.testing.assert_allclose(float(v1), float(v3), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g3)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
