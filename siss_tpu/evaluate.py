@@ -30,10 +30,15 @@ class Evaluator:
 
     def __init__(self, eps_apply: Callable, schedule: NoiseSchedule,
                  sample_shape: tuple, num_inference_steps: int = 50,
-                 random_seed: int = 0, solver: str = "ddpm"):
+                 random_seed: int = 0, solver: str = "ddpm", mesh=None):
         """``eps_apply(params, x, t, cond) -> eps``; ``sample_shape`` is
         (H, W, C). ``solver``: "ddpm" (reference-parity ancestral loop) or
-        "dpm" (DPM-Solver++(2M) — comparable quality in 10-20 steps)."""
+        "dpm" (DPM-Solver++(2M) — comparable quality in 10-20 steps).
+        ``mesh``: optional device mesh — the sampling batch is then sharded
+        over the data axes, so the 50-step eval loop (which the celeb
+        workload runs every grad step) scales with the slice instead of
+        replicating. Draws are identical either way (partitionable
+        threefry), verified by ``test_tensor_parallel.py``."""
         self.eps_apply = eps_apply
         self.schedule = schedule
         self.sample_shape = tuple(sample_shape)
@@ -42,14 +47,33 @@ class Evaluator:
         if solver not in ("ddpm", "dpm"):
             raise ValueError(f"Unknown solver {solver!r}: choose ddpm or dpm")
         self.solver = solver
+        self._batch_sharding = None
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_axes = (("data", "fsdp") if mesh.shape.get("fsdp", 1) > 1
+                         else "data")
+            self._batch_sharding = NamedSharding(mesh, P(data_axes))
         self._sample_jit = functools.lru_cache(maxsize=8)(self._build_sample)
         self._denoise_jit = functools.lru_cache(maxsize=8)(self._build_denoise)
+
+    def _shardable(self, batch_size: int):
+        """Batch sharding when the eval batch divides the data axes (odd
+        batches fall back to the propagated layout)."""
+        if self._batch_sharding is None:
+            return None
+        m = self._batch_sharding.mesh
+        axes = self._batch_sharding.spec[0]
+        axes = (axes,) if isinstance(axes, str) else axes
+        data_size = int(np.prod([m.shape[a] for a in axes]))
+        return self._batch_sharding if batch_size % data_size == 0 else None
 
     def _build_sample(self, batch_size: int, steps: int):
         shape = (batch_size, *self.sample_shape)
         sampler = sample_dpm_solver_2m if self.solver == "dpm" else sample_ddpm
+        sh = self._shardable(batch_size)
 
-        @jax.jit
+        @functools.partial(jax.jit, out_shardings=sh)
         def fn(params, key):
             def eps_fn(x, t, cond):
                 return self.eps_apply(params, x, t, cond)
@@ -58,8 +82,10 @@ class Evaluator:
 
         return fn
 
-    def _build_denoise(self, t_start: int):
-        @jax.jit
+    def _build_denoise(self, t_start: int, batch_size: int):
+        sh = self._shardable(batch_size)
+
+        @functools.partial(jax.jit, out_shardings=sh)
         def fn(params, x_t, key):
             def eps_fn(x, t, cond):
                 return self.eps_apply(params, x, t, cond)
@@ -84,7 +110,8 @@ class Evaluator:
         in [0, 1] (``evaluate.py:64-79``)."""
         if key is None:
             key = jax.random.PRNGKey(self.random_seed if set_generator else np.random.randint(2**31))
-        out = self._denoise_jit(int(timestep))(params, jnp.asarray(noisy_image_batch), key)
+        x_t = jnp.asarray(noisy_image_batch)
+        out = self._denoise_jit(int(timestep), x_t.shape[0])(params, x_t, key)
         out = (np.asarray(out) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 

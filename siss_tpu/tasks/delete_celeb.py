@@ -116,7 +116,8 @@ class DeleteCeleb(Task):
                               (ucfg.sample_size, ucfg.sample_size, ucfg.in_channels),
                               num_inference_steps=int(cfg.pipeline.num_inference_steps),
                               random_seed=int(cfg.random_seed),
-                              solver=str(cfg.pipeline.get("solver", "ddpm")))
+                              solver=str(cfg.pipeline.get("solver", "ddpm")),
+                              mesh=mesh)
 
         metrics_cfg = cfg.get("metrics") or {}
         inj_cfg = metrics_cfg.get("denoising_injections")

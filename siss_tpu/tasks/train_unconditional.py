@@ -106,6 +106,7 @@ class TrainUnconditional(Task):
             num_inference_steps=int(cfg.pipeline.num_inference_steps),
             random_seed=int(cfg.random_seed),
             solver=str(cfg.pipeline.get("solver", "ddpm")),
+            mesh=mesh,
         )
 
         # cfg.train_batch_size is GLOBAL; each process loads only its slice
