@@ -231,7 +231,8 @@ class DeleteCeleb(Task):
             if m:
                 tracker.log(m, step=step)
 
-        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"),
+                                 async_save=bool(cfg.get("async_checkpointing", False)))
 
         # ---- mid-run resume (the reference left this commented out for
         # celeb/tshirt; we support it for preemptible TPU runs)
@@ -348,4 +349,5 @@ class DeleteCeleb(Task):
                 "state": state, "unet": state.params,
                 "unet_ema": state.ema.params if state.ema is not None else None,
             })
+        ckpt.wait()  # drain async checkpoint writes before exit
         tracker.finish()

@@ -333,7 +333,8 @@ class DeleteSD(Task):
                     logs[f"metrics/clip_iqa_{pi}"] = clip_iqa.score(imgs)
             tracker.log(logs, step=img_count)
 
-        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"),
+                                 async_save=bool(cfg.get("async_checkpointing", False)))
         global_step, img_count = 0, 0
         if cfg.get("resume_from_checkpoint"):
             path = "latest" if str(cfg.resume_from_checkpoint) == "latest" else str(cfg.resume_from_checkpoint)
@@ -450,4 +451,5 @@ class DeleteSD(Task):
                 "state": state, "unet": state.params,
                 "unet_ema": state.ema.params if state.ema is not None else None,
             })
+        ckpt.wait()  # drain async checkpoint writes before exit
         tracker.finish()

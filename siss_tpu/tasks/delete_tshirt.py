@@ -161,7 +161,8 @@ class DeleteTShirt(Task):
                 inception = None
 
         deletion_steps_logged = False
-        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"),
+                                 async_save=bool(cfg.get("async_checkpointing", False)))
 
         def log_metrics(step, prev_step=None):
             # inner step_frequency gates fire on boundary crossings in
@@ -309,4 +310,5 @@ class DeleteTShirt(Task):
                 "state": state, "unet": state.params,
                 "unet_ema": state.ema.params if state.ema is not None else None,
             })
+        ckpt.wait()  # drain async checkpoint writes before exit
         tracker.finish()

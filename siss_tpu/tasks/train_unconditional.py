@@ -78,7 +78,8 @@ class TrainUnconditional(Task):
 
             step_fn = jax.jit(fold_steps(one_step), donate_argnums=0)
 
-        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"))
+        ckpt = CheckpointManager(str(cfg.output_dir), cfg.get("checkpoints_total_limit"),
+                                 async_save=bool(cfg.get("async_checkpointing", False)))
 
         def save_checkpoint(step, st):
             # state + unet/unet_ema subfolders (reference layout,
@@ -173,4 +174,5 @@ class TrainUnconditional(Task):
 
         if not guard.should_stop:
             save_checkpoint(global_step, state)
+        ckpt.wait()  # drain async checkpoint writes before exit
         tracker.finish()

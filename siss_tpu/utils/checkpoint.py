@@ -11,8 +11,10 @@ directory naming, ``checkpoints_total_limit`` rotation, and
 from __future__ import annotations
 
 import os
+import queue
 import re
 import shutil
+import threading
 from typing import Any, Optional
 
 
@@ -23,10 +25,52 @@ def _ocp():
 
 
 class CheckpointManager:
-    def __init__(self, output_dir: str, total_limit: Optional[int] = None):
+    """``async_save=True`` moves the disk write (and rotation) to one
+    background worker thread: the device→host copy still happens
+    synchronously in ``save_bundle`` — so donated training-state buffers
+    can be reused by the next step immediately — but the multi-second
+    orbax write of a large state (SD's ~10G) no longer stalls the train
+    loop. ``wait()`` drains pending writes (call before process exit /
+    preemption handoff); write errors re-raise there."""
+
+    def __init__(self, output_dir: str, total_limit: Optional[int] = None,
+                 async_save: bool = False):
         self.root = os.path.abspath(output_dir)
         self.total_limit = total_limit
         os.makedirs(self.root, exist_ok=True)
+        self.async_save = async_save
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    # ----------------------------------------------------------- async worker
+    def _submit(self, job) -> None:
+        if self._worker is None:
+            self._queue = queue.Queue()
+            self._worker = threading.Thread(target=self._drain, daemon=True,
+                                            name="ckpt-writer")
+            self._worker.start()
+        self._queue.put(job)
+
+    def _drain(self) -> None:
+        while True:
+            job = self._queue.get()
+            try:
+                if job is not None:
+                    job()
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+    def wait(self) -> None:
+        """Block until queued checkpoint writes finish; re-raise the first
+        write error if one occurred."""
+        if self._queue is not None:
+            self._queue.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     # ----------------------------------------------------------------- paths
     def _path(self, step: int) -> str:
@@ -68,9 +112,21 @@ class CheckpointManager:
 
         Atomic: written to a ``.tmp`` dir and renamed on completion so a
         mid-save kill (preemption) never leaves a partial bundle that
-        ``latest()`` would resolve to."""
-        ocp = _ocp()
+        ``latest()`` would resolve to. With ``async_save`` the items are
+        host-copied here (donation-safe) and written by the worker."""
         path = self._path(step)
+
+        if self.async_save:
+            import jax
+
+            items = {k: jax.device_get(v) for k, v in items.items() if v is not None}
+            self._submit(lambda: self._write_bundle(path, items))
+            return path
+        self._write_bundle(path, items)
+        return path
+
+    def _write_bundle(self, path: str, items: dict) -> None:
+        ocp = _ocp()
         tmp = path + ".tmp"
         for stale in (path, tmp):
             if os.path.exists(stale):
@@ -82,7 +138,6 @@ class CheckpointManager:
                     ckptr.save(os.path.join(tmp, name), item)
         os.rename(tmp, path)
         self._rotate()
-        return path
 
     def restore_item(self, checkpoint_path: str, name: str, template: Any) -> Any:
         """Restore one named sub-checkpoint (e.g. 'unet_ema') from a

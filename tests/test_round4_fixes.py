@@ -41,6 +41,32 @@ def test_boundary_crossed_disabled_gates():
     assert not boundary_crossed(0, 10, None)
 
 
+def test_async_checkpointing_roundtrip(tmp_path):
+    """async_save: the write happens on the worker; wait() drains; the
+    bundle restores identically and rotation still applies."""
+    import jax
+    import jax.numpy as jnp
+
+    from siss_tpu.utils import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), total_limit=2, async_save=True)
+    tree = {"w": jnp.arange(8, dtype=jnp.float32), "b": jnp.ones((3,))}
+    for step in (1, 2, 3):
+        mgr.save_bundle(step, {"unet": jax.tree.map(lambda x: x * step, tree)})
+    mgr.wait()
+    names = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint-"))
+    assert names == ["checkpoint-2", "checkpoint-3"]  # rotation kept 2
+    restored = mgr.restore_item("latest", "unet", tree)
+    assert float(restored["w"][1]) == 3.0
+    # a second wait() is a no-op; errors propagate on wait
+    mgr.wait()
+    mgr._submit(lambda: (_ for _ in ()).throw(RuntimeError("disk full")))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="disk full"):
+        mgr.wait()
+
+
 def test_native_tokenizer_failure_degrades(tmp_path, capsys):
     """ADVICE r3 (low): malformed vocab.json/merges.txt must fall through
     to the HF / embeddings-only path (None here), not raise at startup."""
