@@ -106,8 +106,16 @@ class CrossAttention(nn.Module):
             return compatible
         if self.impl != "auto":
             return False
-        # auto: flash only where it pays — long self-attention on TPU
-        return compatible and n_q >= 512 and jax.default_backend() == "tpu"
+        # auto: flash only where it pays. Measured on v5e at the SD-1.x
+        # shapes (BASELINE.md round-4 SD table): with head_dim 40/80 the
+        # kernel pads the lane dimension to 128 and every QK/AV matmul
+        # wastes 1.6-3.2x of the MXU — einsum logits (bf16 in, fp32 MXU
+        # accumulate) beat it at every batch size that fits (9.9 vs 6.7
+        # img/s at bs1x16). Flash only wins when heads fill the 128-lane
+        # tile, so auto requires dim_head % 128 == 0; pass
+        # attention_impl="flash" to force the O(N)-memory kernel anyway.
+        return (compatible and n_q >= 512 and self.dim_head % 128 == 0
+                and jax.default_backend() == "tpu")
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:

@@ -85,9 +85,10 @@ class DeleteSD(Task):
         variant = str(cfg.get("model_variant", "sd_v1"))
         attn_kw = {
             "gradient_checkpointing": bool(cfg.gradient_checkpointing),
-            # flash self-attention + resnet-only remat are the measured SD
-            # throughput levers (BASELINE.md); defaults keep flash on
-            # ("auto" falls back to einsum off-TPU) and remat selective
+            # "auto" resolves per-site from measurement: einsum logits at
+            # SD's 40/80 head_dims (the Pallas flash kernel pads lanes to
+            # 128 and measured slower at every fitting batch — BASELINE.md
+            # round-4 SD table); flash where heads fill the 128-lane tile
             "attention_impl": str(cfg.get("attention_impl", "auto")),
             "remat_attention": bool(cfg.get("remat_attention", True)),
             "remat_policy": cfg.get("remat_policy") or None,

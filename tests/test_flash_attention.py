@@ -25,11 +25,17 @@ def test_flash_wiring_rules():
     assert not att._use_flash(is_self=True, n_q=77)      # ragged seq
     assert not CrossAttention(2048, 8, 160, impl="flash")._use_flash(True, 4096)
     assert not CrossAttention(320, 8, 40, impl="einsum")._use_flash(True, 4096)
-    # auto: needs TPU backend + long seq
-    auto = CrossAttention(320, 8, 40, impl="auto")
+    # auto: needs TPU backend + long seq + a head_dim that fills the
+    # 128-lane tile (measured: 40/80 head_dims pad the kernel's matmuls
+    # and run slower than einsum — BASELINE.md round-4 SD table)
     on_tpu = jax.default_backend() == "tpu"
-    assert auto._use_flash(True, 4096) == on_tpu
-    assert not auto._use_flash(True, 128)  # below the pay-off threshold
+    assert not CrossAttention(320, 8, 40, impl="auto")._use_flash(True, 4096)
+    assert not CrossAttention(640, 8, 80, impl="auto")._use_flash(True, 4096)
+    auto128 = CrossAttention(1024, 8, 128, impl="auto")
+    assert auto128._use_flash(True, 4096) == on_tpu
+    assert not auto128._use_flash(True, 128)  # below the pay-off threshold
+    # explicit "flash" still honors the small head_dims
+    assert CrossAttention(320, 8, 40, impl="flash")._use_flash(True, 4096)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
