@@ -26,4 +26,8 @@ run einsum_noremat_bs1 --batch-size 1 --accum 16 --attention-impl einsum
 # larger microbatch with einsum
 run einsum_bs2 --batch-size 2 --accum 8 --remat --attention-impl einsum
 run einsum_noremat_attn_bs2 --batch-size 2 --accum 8 --remat --attention-impl einsum --no-remat-attention
+# selective remat policy (save matmul/conv outputs inside rematted blocks)
+run einsum_bs1_dots --batch-size 1 --accum 16 --remat --attention-impl einsum --remat-policy dots
+run einsum_bs2_dots --batch-size 2 --accum 8 --remat --attention-impl einsum --remat-policy dots
+run einsum_bs4_dots --batch-size 4 --accum 4 --remat --attention-impl einsum --remat-policy dots
 echo "[extras] done" >&2

@@ -7,7 +7,11 @@ partitioning: the batch axis is sharded over the ``data`` mesh axis,
 gradients and the surgery's global norms are computed over the global batch
 inside one jitted program, and XLA inserts the ICI collectives. An optional
 ``fsdp`` axis shards parameters/optimizer state (the reference only has
-inert DeepSpeed-ZeRO scaffolding, ``delete_sd.py:421-444``).
+inert DeepSpeed-ZeRO scaffolding, ``delete_sd.py:421-444``), and an
+optional ``tensor`` axis splits the model itself Megatron-style
+(``_tp_spec``; no reference equivalent). Batches are sharded over
+data(+fsdp) and replicated over ``tensor``; all placement is parameter
+shardings + XLA GSPMD propagation — the train-step code never changes.
 """
 
 from __future__ import annotations
