@@ -3,7 +3,8 @@
 # motivated (flash measured slower at SD's 40/80 head_dim — lane padding),
 # plus no-remat shapes to see whether bs1 fits without recompute.
 set -u
-OUT=${OUT:-/root/repo/runs/bench_sd_r4.jsonl}
+OUT=${OUT:-/root/repo/docs/bench/bench_sd_r4.jsonl}
+mkdir -p "$(dirname "$OUT")"
 cd /root/repo
 
 run() {
@@ -30,4 +31,7 @@ run einsum_noremat_attn_bs2 --batch-size 2 --accum 8 --remat --attention-impl ei
 run einsum_bs1_dots --batch-size 1 --accum 16 --remat --attention-impl einsum --remat-policy dots
 run einsum_bs2_dots --batch-size 2 --accum 8 --remat --attention-impl einsum --remat-policy dots
 run einsum_bs4_dots --batch-size 4 --accum 4 --remat --attention-impl einsum --remat-policy dots
+# end-to-end anchor with the SHIPPED attention impl (the round-3 e2e row
+# used the rejected flash kernel; this is the honest task-shape number)
+run einsum_e2e_bs1 --batch-size 1 --accum 16 --remat --attention-impl einsum --include-vae
 echo "[extras] done" >&2
