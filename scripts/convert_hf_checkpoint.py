@@ -24,14 +24,17 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def convert_celeb(src: str, dst: str):
+def convert_celeb(src: str, dst: str, config=None):
+    """``config`` (a ``UNet2DConfig``) overrides the default
+    google/ddpm-celebahq-256 architecture — used by the snapshot-pipeline
+    tests to drive the identical disk→orbax path at tiny size."""
     import jax
     import orbax.checkpoint as ocp
 
     from siss_tpu.models import UNet2D, UNet2DConfig
     from siss_tpu.utils.hf_convert import import_hf_unet
 
-    model = UNet2D(UNet2DConfig.celebahq_256())
+    model = UNet2D(config or UNet2DConfig.celebahq_256())
     template = model.init_params(jax.random.PRNGKey(0))
     unet_dir = os.path.join(src, "unet") if os.path.isdir(os.path.join(src, "unet")) else src
     params = import_hf_unet(unet_dir, template)
@@ -40,28 +43,30 @@ def convert_celeb(src: str, dst: str):
     print(f"saved celeb UNet params → {dst}")
 
 
-def convert_sd(src: str, dst: str):
+def convert_sd(src: str, dst: str, variant: str = "sd_v1"):
+    """``variant``: "sd_v1" (real SD-1.x snapshot) or "tiny" (the test
+    architectures — exercises the identical disk→orbax path)."""
     import jax
     import orbax.checkpoint as ocp
 
     from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
     from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
     from siss_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
-    from siss_tpu.utils.hf_convert import import_hf_unet, load_torch_state_dict
+    from siss_tpu.utils.hf_convert import load_torch_state_dict
     from siss_tpu.utils.sd_convert import convert_sd_unet, convert_vae, convert_clip_text
 
     with ocp.StandardCheckpointer() as ckptr:
-        unet = UNet2DCondition(UNet2DConditionConfig.sd_v1())
+        unet = UNet2DCondition(getattr(UNet2DConditionConfig, variant)())
         template = unet.init_params(jax.random.PRNGKey(0))
         params = convert_sd_unet(load_torch_state_dict(os.path.join(src, "unet")), template)
         ckptr.save(os.path.abspath(os.path.join(dst, "unet")), params)
 
-        vae = AutoencoderKL(AutoencoderKLConfig.sd_v1())
+        vae = AutoencoderKL(getattr(AutoencoderKLConfig, variant)())
         template = vae.init_params(jax.random.PRNGKey(0))
         params = convert_vae(load_torch_state_dict(os.path.join(src, "vae")), template)
         ckptr.save(os.path.abspath(os.path.join(dst, "vae")), params)
 
-        text = CLIPTextModel(CLIPTextConfig.sd_v1())
+        text = CLIPTextModel(getattr(CLIPTextConfig, variant)())
         template = text.init_params(jax.random.PRNGKey(0))
         params = convert_clip_text(load_torch_state_dict(os.path.join(src, "text_encoder")), template)
         ckptr.save(os.path.abspath(os.path.join(dst, "text_encoder")), params)
@@ -122,11 +127,13 @@ def main():
     p.add_argument("--model", choices=["celeb", "sd", "clip"], required=True)
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
+    p.add_argument("--variant", default=None,
+                   help="SD architecture variant (sd_v1 [default] or tiny)")
     args = p.parse_args()
     if args.model == "celeb":
         convert_celeb(args.src, args.dst)
     elif args.model == "sd":
-        convert_sd(args.src, args.dst)
+        convert_sd(args.src, args.dst, args.variant or "sd_v1")
     else:
         convert_clip(args.src, args.dst)
 

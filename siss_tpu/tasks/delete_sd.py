@@ -32,6 +32,7 @@ from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
 from siss_tpu.parallel import (
     global_microbatches_from_local,
     process_batch_slice,
+    replicated_sharding,
     shard_params_fsdp,
 )
 from siss_tpu.tasks.base import Task, boundary_crossed
@@ -119,6 +120,14 @@ class DeleteSD(Task):
             vae_params = load("vae", vae.init_params(k2, image_size=64))
             text_params = load("text_encoder", text.init_params(k3))
         unet_params = shard_params_fsdp(unet_params, mesh)
+        # frozen towers: orbax restores leaves committed to one device;
+        # replicate them over the mesh or any sharded computation that
+        # touches them (VAE encode in the step, decode in validation)
+        # fails with mixed placements. Random init is uncommitted, which
+        # is why only the converted-weights path trips this.
+        rep = replicated_sharding(mesh)
+        vae_params = jax.tree.map(lambda p: jax.device_put(p, rep), vae_params)
+        text_params = jax.tree.map(lambda p: jax.device_put(p, rep), text_params)
 
         schedule = sd_noise_schedule()
 

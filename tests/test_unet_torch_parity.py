@@ -80,13 +80,13 @@ class TorchUNet2D(tnn.Module):
     down (DownBlock2D, AttnDownBlock2D), up (AttnUpBlock2D, UpBlock2D),
     layers_per_block=2, downsample padding=1."""
 
-    def __init__(self):
+    def __init__(self, in_ch=1, out_ch=1):
         super().__init__()
         temb = CH[0] * 4
         md = tnn.ModuleDict
         self.time_embedding = md({"linear_1": tnn.Linear(CH[0], temb),
                                   "linear_2": tnn.Linear(temb, temb)})
-        self.conv_in = tnn.Conv2d(1, CH[0], 3, padding=1)
+        self.conv_in = tnn.Conv2d(in_ch, CH[0], 3, padding=1)
 
         self.d0_res = tnn.ModuleList([TResnet(CH[0], CH[0], temb), TResnet(CH[0], CH[0], temb)])
         self.d0_down = tnn.Conv2d(CH[0], CH[0], 3, stride=2, padding=1)
@@ -108,7 +108,7 @@ class TorchUNet2D(tnn.Module):
                                       TResnet(CH[0] + CH[0], CH[0], temb),
                                       TResnet(CH[0] + CH[0], CH[0], temb)])
         self.conv_norm_out = tnn.GroupNorm(GROUPS, CH[0], eps=1e-6)
-        self.conv_out = tnn.Conv2d(CH[0], 1, 3, padding=1)
+        self.conv_out = tnn.Conv2d(CH[0], out_ch, 3, padding=1)
 
     def forward(self, x, t):
         temb = timestep_embedding(t, CH[0])
