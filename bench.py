@@ -304,8 +304,8 @@ def main():
     if flops_per_image is None:
         flops_per_image = _cost_flops(compiled) / args.batch_size
     step_flops = flops_per_image * args.batch_size * args.accum
-    state, _ = compiled(state, batch, a, d)
-    jax.block_until_ready(state.params)
+    state, warm_metrics = compiled(state, batch, a, d)
+    jax.block_until_ready((state, warm_metrics))
 
     times = []
     for i in range(args.steps):
@@ -313,7 +313,12 @@ def main():
         a, d = call_args(key)
         t0 = time.perf_counter()
         state, metrics = compiled(state, batch, a, d)
-        jax.block_until_ready(state.params)
+        # block on the metrics too, not just params: params are donated
+        # aliased buffers, and timing only their ready event produced a
+        # physically impossible step time (2168% MFU) for one program on
+        # the tunneled TPU platform — the fresh metric buffers (loss
+        # means, grad norms) depend on the whole step and cannot lie
+        jax.block_until_ready((state, metrics))
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times)) / K
@@ -329,6 +334,11 @@ def main():
 
     achieved_flops = step_flops / dt if step_flops else 0.0
     mfu_v5e = achieved_flops / 197e12
+    if mfu_v5e > 1.0:
+        import sys
+
+        print(f"[bench] WARNING: MFU {mfu_v5e:.2f} exceeds peak — the timing "
+              "is an artifact, do not record this row", file=sys.stderr)
 
     metric_name = ("siss_sd_latent_train_step_throughput" if args.workload == "sd"
                    else "siss_celeb256_train_step_throughput")
