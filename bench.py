@@ -38,7 +38,7 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
              variant: str = "sd_v1", attention_impl: str = "auto",
              remat_attention: bool = True, include_vae: bool = False,
              fused_surgery: bool = True, grad_accum_dtype: str = None,
-             remat_policy: str = None):
+             remat_policy: str = None, cast_params_once: bool = False):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -83,6 +83,7 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
         t_min=999, t_max=1000,
         grad_accum_dtype=grad_accum_dtype or ("bfloat16" if memory_efficient else "float32"),
         fused_surgery=fused_surgery,
+        param_cast_dtype="bfloat16" if cast_params_once else None,
     )
     latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
     rng = np.random.default_rng(0)
@@ -139,7 +140,10 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
 
 
 def build(batch_size: int, accum: int, image_size: int, remat: bool,
-          fused_surgery: bool = True, grad_accum_dtype: str = "float32"):
+          fused_surgery: bool = True, grad_accum_dtype: str = "float32",
+          cast_params_once: bool = False,
+          include_eval: bool = False, eval_batch_size: int = 1,
+          eval_inference_steps: int = 50, injection_timestep: int = 250):
     from siss_tpu.diffusion import NoiseSchedule
     from siss_tpu.models import UNet2D, UNet2DConfig
     from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
@@ -167,6 +171,7 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool,
         t_min=999, t_max=1000,
         fused_surgery=fused_surgery,
         grad_accum_dtype=grad_accum_dtype,
+        param_cast_dtype="bfloat16" if cast_params_once else None,
     )
     step = jax.jit(build_deletion_train_step(eps_apply, schedule, tx, step_cfg), donate_argnums=0)
     state = TrainState.create(params, tx)
@@ -176,7 +181,39 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool,
         "all": jnp.asarray(rng.normal(size=(accum, batch_size, image_size, image_size, 3)), jnp.float32),
         "deletion": jnp.asarray(rng.normal(size=(accum, batch_size, image_size, image_size, 3)), jnp.float32),
     }
-    return step, state, batch
+
+    eval_fns = None
+    if include_eval:
+        # the reference's ACTUAL per-step workload (config/delete_celeb.yaml
+        # `sampling_steps: 1`): every optimizer step also runs (a) a full
+        # `eval_batch_size`-image 50-step DDPM sampling pass
+        # (delete_celeb.py:486-489) and (b) a denoising injection — the
+        # forget image noised to t=250 and reverse-diffused back
+        # (delete_celeb.py:404-436,473-475). Both are single fused lax.scan
+        # programs here (evaluate.py semantics), vs the reference's 50/250
+        # Python-dispatched diffusers UNet calls.
+        from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm
+        from siss_tpu.diffusion.schedule import q_sample
+
+        shape = (eval_batch_size, image_size, image_size, 3)
+
+        @jax.jit
+        def sample_fn(p, key):
+            return sample_ddpm(lambda x, t, c: eps_apply(p, x, t, c),
+                               schedule, key, shape, eval_inference_steps)
+
+        @jax.jit
+        def denoise_fn(p, x_t, key):
+            return denoise_from_t(lambda x, t, c: eps_apply(p, x, t, c),
+                                  schedule, key, x_t, injection_timestep)
+
+        k = jax.random.PRNGKey(7)
+        target = jnp.asarray(rng.normal(size=(image_size, image_size, 3)), jnp.float32)
+        noise = jax.random.normal(k, shape)
+        x_t = q_sample(schedule, jnp.broadcast_to(target, shape), noise,
+                       jnp.full((eval_batch_size,), injection_timestep))
+        eval_fns = (sample_fn, denoise_fn, x_t)
+    return step, state, batch, eval_fns
 
 
 def main():
@@ -223,6 +260,22 @@ def main():
     p.add_argument("--include-vae", action="store_true",
                    help="sd only: fold the frozen VAE encode of both 512px "
                         "pixel batches into the step (end-to-end task shape)")
+    p.add_argument("--cast-params-once", action="store_true",
+                   help="pre-cast the fp32 param tree to bf16 once per step "
+                        "outside the microbatch scan instead of at use "
+                        "inside it (identical math; saves accum-1 re-cast "
+                        "traffic if XLA does not hoist the converts)")
+    p.add_argument("--include-eval", action="store_true",
+                   help="celeb only: bench the reference's FULL per-step "
+                        "workload — train step + 50-step DDPM sampling of "
+                        "eval_batch_size images + the t=250 denoising "
+                        "injection, every step (its `sampling_steps: 1`)")
+    p.add_argument("--eval-batch-size", type=int, default=1,
+                   help="--include-eval: images per sampling eval "
+                        "(reference `eval_batch_size: 1`)")
+    p.add_argument("--eval-inference-steps", type=int, default=50,
+                   help="--include-eval: DDPM sampling steps per eval "
+                        "(reference `num_inference_steps: 50`)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -260,23 +313,34 @@ def main():
             # torch step materializes the logits einsum-style — so the
             # einsum program is the canonical algorithmic-work denominator
             # for every attention_impl variant
-            return build_sd(args.batch_size, accum, remat, args.memory_efficient,
-                            attention_impl="einsum" if anchor else args.attention_impl,
-                            remat_attention=not args.no_remat_attention,
-                            include_vae=args.include_vae,
-                            fused_surgery=not args.no_fused_surgery,
-                            grad_accum_dtype=args.grad_accum_dtype,
-                            remat_policy=args.remat_policy)
+            return (*build_sd(args.batch_size, accum, remat, args.memory_efficient,
+                              attention_impl="einsum" if anchor else args.attention_impl,
+                              remat_attention=not args.no_remat_attention,
+                              include_vae=args.include_vae,
+                              fused_surgery=not args.no_fused_surgery,
+                              grad_accum_dtype=args.grad_accum_dtype,
+                              remat_policy=args.remat_policy,
+                              cast_params_once=args.cast_params_once and not anchor), None)
         return build(args.batch_size, accum, args.image_size, remat,
                      fused_surgery=not args.no_fused_surgery,
-                     grad_accum_dtype=args.grad_accum_dtype or "float32")
+                     grad_accum_dtype=args.grad_accum_dtype or "float32",
+                     cast_params_once=args.cast_params_once and not anchor,
+                     include_eval=args.include_eval and not anchor,
+                     eval_batch_size=args.eval_batch_size,
+                     eval_inference_steps=args.eval_inference_steps)
 
     K = max(int(args.opt_steps_per_call), 1)
+    if args.include_eval:
+        if args.workload != "celeb":
+            p.error("--include-eval is celeb-only")
+        # the reference evaluates EVERY optimizer step, so a dispatch per
+        # step is inherent to this workload — folding would misrepresent it
+        K = 1
     flops_per_image = None
     needs_anchor = (args.accum != 1 or args.remat or K > 1
                     or (args.workload == "sd" and args.attention_impl != "einsum"))
     if needs_anchor:
-        anchor_step, anchor_state, anchor_batch = _build(1, False, anchor=True)
+        anchor_step, anchor_state, anchor_batch, _ = _build(1, False, anchor=True)
         # the anchor DOES device-compile (cost analysis needs the compiled
         # executable), but its accum=1/no-remat program is the smallest
         # variant and everything is deleted before the benched build below
@@ -284,7 +348,7 @@ def main():
         flops_per_image = _cost_flops(anchor) / args.batch_size
         del anchor, anchor_step, anchor_state, anchor_batch
 
-    step, state, batch = _build(args.accum, args.remat)
+    step, state, batch, eval_fns = _build(args.accum, args.remat)
     if K > 1:
         # K optimizer steps per dispatched program: identical per-step math
         # (the scan body IS the single-step program), host round-trip paid
@@ -307,12 +371,29 @@ def main():
     state, warm_metrics = compiled(state, batch, a, d)
     jax.block_until_ready((state, warm_metrics))
 
+    eval_flops = 0.0
+    if eval_fns is not None:
+        sample_fn, denoise_fn, x_t = eval_fns
+        ekey = jax.random.PRNGKey(1)
+        sample_c = sample_fn.lower(state.params, ekey).compile()
+        denoise_c = denoise_fn.lower(state.params, x_t, ekey).compile()
+        eval_flops = _cost_flops(sample_c) + _cost_flops(denoise_c)
+        jax.block_until_ready((sample_c(state.params, ekey),
+                               denoise_c(state.params, x_t, ekey)))
+    step_flops_total = step_flops + eval_flops
+
     times = []
     for i in range(args.steps):
         key = jax.random.fold_in(key, i)
         a, d = call_args(key)
         t0 = time.perf_counter()
         state, metrics = compiled(state, batch, a, d)
+        if eval_fns is not None:
+            # the reference's every-step eval (sampling grid + injection),
+            # run on the post-update params exactly like log_metrics does
+            ekey = jax.random.fold_in(jax.random.PRNGKey(1), i)
+            outs = (sample_c(state.params, ekey), denoise_c(state.params, x_t, ekey))
+            jax.block_until_ready(outs)
         # block on the metrics too, not just params: params are donated
         # aliased buffers, and timing only their ready event produced a
         # physically impossible step time (2168% MFU) for one program on
@@ -328,11 +409,16 @@ def main():
     # (which would understate it on a multi-chip host)
     ips_per_chip = imgs_per_step / dt
 
-    # A100 reference estimate (see module docstring / BASELINE.md)
-    a100_ref_ips = (156e12 * 0.35) / flops_per_image if flops_per_image else 0.0
+    # A100 reference estimate (see module docstring / BASELINE.md). With
+    # --include-eval the denominator charges the reference the same total
+    # work per step (train + the 50-step sampling + the injection) at the
+    # same generous 35% TF32 MFU — its actual eval is 300+ Python-dispatched
+    # batch-1 diffusers UNet calls per step, which sustains far less.
+    flops_per_image_total = step_flops_total / imgs_per_step if imgs_per_step else 0.0
+    a100_ref_ips = (156e12 * 0.35) / flops_per_image_total if flops_per_image_total else 0.0
     vs_baseline = ips_per_chip / a100_ref_ips if a100_ref_ips else 0.0
 
-    achieved_flops = step_flops / dt if step_flops else 0.0
+    achieved_flops = step_flops_total / dt if step_flops_total else 0.0
     mfu_v5e = achieved_flops / 197e12
     if mfu_v5e > 1.0:
         import sys
@@ -341,23 +427,29 @@ def main():
               "is an artifact, do not record this row", file=sys.stderr)
 
     metric_name = ("siss_sd_latent_train_step_throughput" if args.workload == "sd"
+                   else "siss_celeb256_task_step_throughput" if args.include_eval
                    else "siss_celeb256_train_step_throughput")
+    detail = {
+        "batch_size": args.batch_size,
+        "accum": args.accum,
+        "image_size": args.image_size,
+        "n_chips": n_chips,
+        "step_time_s": round(dt, 4),
+        "step_tflops": round(step_flops_total / 1e12, 2),
+        "mfu_v5e_bf16": round(mfu_v5e, 4),
+        "a100_ref_est_ips": round(a100_ref_ips, 4),
+        "platform": jax.devices()[0].platform,
+    }
+    if eval_fns is not None:
+        detail.update(eval_batch_size=args.eval_batch_size,
+                      eval_inference_steps=args.eval_inference_steps,
+                      eval_tflops=round(eval_flops / 1e12, 2))
     print(json.dumps({
         "metric": metric_name,
         "value": round(ips_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-        "detail": {
-            "batch_size": args.batch_size,
-            "accum": args.accum,
-            "image_size": args.image_size,
-            "n_chips": n_chips,
-            "step_time_s": round(dt, 4),
-            "step_tflops": round(step_flops / 1e12, 2),
-            "mfu_v5e_bf16": round(mfu_v5e, 4),
-            "a100_ref_est_ips": round(a100_ref_ips, 4),
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }))
 
 

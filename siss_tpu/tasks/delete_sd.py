@@ -203,6 +203,7 @@ class DeleteSD(Task):
             input_perturbation=float(cfg.get("input_perturbation") or 0.0),
             batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
             grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
+            param_cast_dtype=cfg.deletion.get("param_cast_dtype"),
             fused_surgery=bool(cfg.deletion.get("fused_surgery", True)),
         )
         latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)

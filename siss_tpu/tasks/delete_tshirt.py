@@ -77,6 +77,7 @@ class DeleteTShirt(Task):
             use_ema=bool(cfg.ema.use_ema),
             batched_dual_backward=bool(cfg.deletion.get("batched_dual_backward", False)),
             grad_accum_dtype=str(cfg.deletion.get("grad_accum_dtype", "float32")),
+            param_cast_dtype=cfg.deletion.get("param_cast_dtype"),
             fused_surgery=bool(cfg.deletion.get("fused_surgery", True)),
         )
         raw_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)

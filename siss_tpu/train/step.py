@@ -127,6 +127,15 @@ class DeletionStepConfig:
     # clip → step, ``delete_celeb.py:746-767``) up to fp32 reduction
     # order; False restores the literal sweep-by-sweep ordering.
     fused_surgery: bool = True
+    # Pre-cast fp32 params to the model's compute dtype ONCE per step,
+    # outside the microbatch scan. Flax casts params at use (param_dtype
+    # fp32 → dtype bf16), so under grad accumulation the fp32→bf16 convert
+    # of the whole parameter tree replays inside every scan iteration
+    # unless XLA hoists it (SD-1.x: ~5.1G of convert traffic × accum).
+    # Mathematically identical dataflow: the cast's VJP is itself a cast,
+    # and the accumulators already convert incoming grads to
+    # ``grad_accum_dtype``. None = cast at use (reference-literal).
+    param_cast_dtype: Optional[str] = None
 
     def __post_init__(self):
         from siss_tpu.losses.deletion import LOSS_FUNCTIONS
@@ -367,6 +376,16 @@ def build_deletion_train_step(
         acc_dtype = jnp.dtype(cfg.grad_accum_dtype)
         zeros_like_params = jax.tree.map(lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
 
+        # One cast of the fp32 tree per STEP (not per microbatch); see the
+        # ``param_cast_dtype`` knob note. Grads pulled wrt the cast tree
+        # equal the cast of grads wrt the fp32 tree leaf-for-leaf.
+        fwd_params = state.params
+        if cfg.param_cast_dtype is not None:
+            cast_to = jnp.dtype(cfg.param_cast_dtype)
+            fwd_params = jax.tree.map(
+                lambda p: p.astype(cast_to) if p.dtype == jnp.float32 else p,
+                state.params)
+
         # Dyn scalars with a leading [A] axis vary per microbatch and ride
         # the scan (the reference decays ``superfactor`` inside the
         # accumulation loop, once per microbatch — ``delete_celeb.py:658-662``);
@@ -378,7 +397,7 @@ def build_deletion_train_step(
         def body(carry, xs):
             g_x_acc, g_a_acc = carry
             keep, forget, cond, k, dyn_mb = xs
-            g_x, g_a, stats = micro_grads(state.params, keep, forget, cond, k,
+            g_x, g_a, stats = micro_grads(fwd_params, keep, forget, cond, k,
                                           {**dyn_const, **dyn_mb})
             g_x_acc = jax.tree.map(lambda a, b: a + b.astype(acc_dtype), g_x_acc, g_x)
             if g_a is not None:

@@ -252,3 +252,33 @@ def test_bf16_accumulator_tolerance(setup):
         da, db = np.asarray(a - p), np.asarray(b - p)
         denom = np.abs(db).max() + 1e-12
         assert np.abs(da - db).max() / denom < 5e-2
+
+
+def test_param_cast_once_equivalence(setup):
+    """``param_cast_dtype`` moves the fp32→bf16 parameter cast from
+    inside the microbatch scan (flax cast-at-use) to once per step.
+    Dataflow is value-identical: every op sees the same bf16 inputs and
+    the cast's VJP is itself a cast, so grads/metrics/updates must match
+    the cast-at-use step exactly."""
+    sched, params, tx, batch = setup
+
+    def bf16_apply(p, x, t, cond):
+        # mimic flax dtype=bfloat16 modules: params cast at use
+        pw = jax.tree.map(lambda v: v.astype(jnp.bfloat16), p)
+        return (pw["w"] * x.astype(jnp.bfloat16) + pw["b"]).astype(jnp.float32)
+
+    outs = {}
+    for cast in (None, "bfloat16"):
+        cfg = DeletionStepConfig(loss_fn="importance_sampling_with_mixture",
+                                 loss_params=(("lambd", 0.5),), scaling_norm=5.0,
+                                 grad_accum_steps=2, param_cast_dtype=cast)
+        step = jax.jit(build_deletion_train_step(bf16_apply, sched, tx, cfg))
+        state = TrainState.create(params, tx)
+        outs[cast] = step(state, batch, jax.random.PRNGKey(7), {})
+    (s0, m0), (s1, m1) = outs[None], outs["bfloat16"]
+    for k in ("gradient/norm_loss_x", "gradient/norm_loss_a",
+              "gradient/scaling_factor", "loss_x/mean"):
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-6), k
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
