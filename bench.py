@@ -108,10 +108,16 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
             A, mb = images["all"].shape[:2]
 
             def enc(imgs, k):
-                z = vae.apply({"params": vae_params},
-                              imgs.reshape(A * mb, px, px, 3).astype(jnp.bfloat16),
-                              k, method=vae.encode_sample)
-                return (z * sf).astype(jnp.float32).reshape(A, mb, hw, hw, ch)
+                # per-microbatch encode via lax.map, matching the task
+                # (tasks/delete_sd.py::enc) — one flat A×mb encode spikes
+                # peak 512px activations ×A and OOMs the einsum program
+                def one(xs):
+                    im, kk = xs
+                    z = vae.apply({"params": vae_params},
+                                  im.astype(jnp.bfloat16), kk,
+                                  method=vae.encode_sample)
+                    return (z * sf).astype(jnp.float32)
+                return jax.lax.map(one, (imgs, jax.random.split(k, A)))
 
             batch = {
                 "all": enc(images["all"], k_a),

@@ -32,8 +32,8 @@ def capture(args) -> str:
             attention_impl=args.attention_impl,
             remat_attention=not args.no_remat_attention)
     else:
-        step, state, batch = bench.build(args.batch_size, args.accum, args.image_size,
-                                         args.remat)
+        step, state, batch, _ = bench.build(args.batch_size, args.accum,
+                                            args.image_size, args.remat)
     key = jax.random.PRNGKey(0)
     state, _ = step(state, batch, key, {})
     jax.block_until_ready(state.params)

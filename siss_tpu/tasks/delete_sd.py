@@ -221,9 +221,13 @@ class DeleteSD(Task):
                 images = {k: jnp.where(flip, v[:, :, :, ::-1, :], v) for k, v in images.items()}
 
             def enc(imgs, k):
-                flat = imgs.reshape(A * mb, *imgs.shape[2:])
-                z = vae_encode(flat, k)
-                return z.reshape(A, mb, *z.shape[1:])
+                # Encode one microbatch at a time (lax.map over the accum
+                # axis), like the reference's per-microbatch encode inside
+                # its accumulation loop (delete_sd.py:879-888). Encoding
+                # the flat A×mb batch in one call spikes peak 512px encoder
+                # activations ×A and OOMs the single-chip einsum program.
+                ks = jax.random.split(k, A)
+                return jax.lax.map(lambda xs: vae_encode(xs[0], xs[1]), (imgs, ks))
 
             cond = jnp.broadcast_to(train_cond, (mb, *train_cond.shape[-2:]))
             cond = jnp.broadcast_to(cond[None], (A, mb, *train_cond.shape[-2:]))

@@ -122,7 +122,7 @@ def test_bench_build_functions_run_one_step():
     would surface only there). Tiny shapes, one CPU step each."""
     import bench
 
-    step, state, batch = bench.build(2, 1, 32, False)
+    step, state, batch, _ = bench.build(2, 1, 32, False)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["gradient/scaling_factor"]))
