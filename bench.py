@@ -38,7 +38,8 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
              variant: str = "sd_v1", attention_impl: str = "auto",
              remat_attention: bool = True, include_vae: bool = False,
              fused_surgery: bool = True, grad_accum_dtype: str = None,
-             remat_policy: str = None, cast_params_once: bool = False):
+             remat_policy: str = None, cast_params_once: bool = False,
+             optimizer: str = "adamw"):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -69,12 +70,18 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     # memory-efficient single-chip mode: bf16 Adam moments + bf16
     # gradient accumulators cut the static training state from ~17.2G
     # (OOM on one v5e) to ~10.3G (see BASELINE.md)
-    tx = optax.adamw(1e-5, weight_decay=1e-2,
-                     mu_dtype=jnp.bfloat16 if memory_efficient else None)
-    if memory_efficient:
-        from siss_tpu.train.optim import cast_nu_dtype
+    if optimizer == "adafactor":
+        # factored second moments (T5X-style): ~6.9G of fp32 Adam state
+        # becomes a few MB, freeing HBM for microbatch>1 on one chip
+        tx = optax.adafactor(1e-5, multiply_by_parameter_scale=False,
+                             weight_decay_rate=1e-2)
+    else:
+        tx = optax.adamw(1e-5, weight_decay=1e-2,
+                         mu_dtype=jnp.bfloat16 if memory_efficient else None)
+        if memory_efficient:
+            from siss_tpu.train.optim import cast_nu_dtype
 
-        tx = cast_nu_dtype(tx, jnp.bfloat16)
+            tx = cast_nu_dtype(tx, jnp.bfloat16)
     step_cfg = DeletionStepConfig(
         loss_fn="importance_sampling_with_mixture",
         loss_params=(("lambd", 0.5),),
@@ -282,6 +289,13 @@ def main():
     p.add_argument("--eval-inference-steps", type=int, default=50,
                    help="--include-eval: DDPM sampling steps per eval "
                         "(reference `num_inference_steps: 50`)")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "adafactor"),
+                   help="sd only: adafactor = factored second moments "
+                        "(T5X-style); frees ~6.9G of Adam state so "
+                        "microbatch>1 fits one v5e. The FLOP anchor uses "
+                        "the same optimizer (update FLOPs are noise either "
+                        "way).")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -326,7 +340,8 @@ def main():
                               fused_surgery=not args.no_fused_surgery,
                               grad_accum_dtype=args.grad_accum_dtype,
                               remat_policy=args.remat_policy,
-                              cast_params_once=args.cast_params_once and not anchor), None)
+                              cast_params_once=args.cast_params_once and not anchor,
+                              optimizer=args.optimizer), None)
         return build(args.batch_size, accum, args.image_size, remat,
                      fused_surgery=not args.no_fused_surgery,
                      grad_accum_dtype=args.grad_accum_dtype or "float32",

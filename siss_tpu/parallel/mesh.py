@@ -150,7 +150,11 @@ def _param_spec(path_names: Sequence[str], shape, mesh: Mesh) -> P:
         spec = _tp_spec(path_names, shape)
         if spec is not None:
             taken = [i for i, a in enumerate(spec) if a == "tensor"]
-            if all(shape[i] % tp == 0 for i in taken):
+            # rank guard: factored optimizer states (adafactor v_row/v_col)
+            # keep the parameter's path names but are 1-D — a spec indexing
+            # a missing dim means "this leaf is not the parameter", so fall
+            # through to plain fsdp-by-shape placement
+            if all(i < len(shape) and shape[i] % tp == 0 for i in taken):
                 # compose with fsdp on a different dim (TP+FSDP, standard
                 # 3D layout) — e.g. conv kernels shard cout over tensor
                 # AND cin over fsdp

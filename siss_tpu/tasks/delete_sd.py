@@ -179,13 +179,20 @@ class DeleteSD(Task):
         training_steps = int(cfg.training_steps)
         bs = int(cfg.train_batch_size)
         accum = int(cfg.gradient_accumulation_steps)
-        opt_cfg = Config({
-            "_target_": "torch.optim.AdamW", "lr": float(cfg.learning_rate),
-            "betas": [float(cfg.adam_beta1), float(cfg.adam_beta2)],
-            "weight_decay": float(cfg.adam_weight_decay), "eps": float(cfg.adam_epsilon),
-            "mu_dtype": cfg.get("adam_mu_dtype"),
-            "nu_dtype": cfg.get("adam_nu_dtype"),
-        })
+        if cfg.get("optimizer"):
+            # opt-in override of the reference's flat adam_* knobs (e.g.
+            # `optimizer: {_target_: adafactor}` — the round-4 single-chip
+            # memory lever; lr falls back to cfg.learning_rate)
+            opt_cfg = Config({"lr": float(cfg.learning_rate),
+                              **to_dict(cfg.optimizer)})
+        else:
+            opt_cfg = Config({
+                "_target_": "torch.optim.AdamW", "lr": float(cfg.learning_rate),
+                "betas": [float(cfg.adam_beta1), float(cfg.adam_beta2)],
+                "weight_decay": float(cfg.adam_weight_decay), "eps": float(cfg.adam_epsilon),
+                "mu_dtype": cfg.get("adam_mu_dtype"),
+                "nu_dtype": cfg.get("adam_nu_dtype"),
+            })
         from siss_tpu.train.optim import build_optimizer
 
         tx = build_optimizer(opt_cfg, str(cfg.lr_scheduler), int(cfg.lr_warmup_steps), training_steps)

@@ -61,6 +61,13 @@ def cast_nu_dtype(tx: optax.GradientTransformation, nu_dtype) -> optax.GradientT
     return optax.GradientTransformation(init, update)
 
 
+def _keys(cfg) -> set:
+    try:
+        return set(cfg.keys())
+    except Exception:
+        return set()
+
+
 def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int = 0,
                     total_steps: Optional[int] = None) -> optax.GradientTransformation:
     """``cfg``: config node with keys mirroring torch.optim.AdamW
@@ -87,6 +94,30 @@ def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int 
         tx = optax.adam(sched, b1=float(betas[0]), b2=float(betas[1]), eps=eps,
                         mu_dtype=mu_dtype)
         return cast_nu_dtype(tx, str(nu_dtype)) if nu_dtype else tx
+    if name in ("adafactor",):
+        # TPU memory-lean option (T5X-style): factored second moments store
+        # O(rows+cols) per matrix instead of O(rows*cols), and momentum is
+        # off by default — for SD-1.x this replaces ~6.9G of fp32 Adam state
+        # with a few MB, unlocking microbatch>1 on a single v5e (BASELINE.md
+        # round-4 SD table). Not a reference optimizer (delete_*.yaml all
+        # ship torch.optim.AdamW) — opt-in via `optimizer._target_:
+        # adafactor`. `multiply_by_parameter_scale` defaults OFF so the
+        # update magnitude stays lr-scaled like the AdamW it substitutes.
+        if mu_dtype or nu_dtype:
+            raise ValueError("mu_dtype/nu_dtype are Adam-state options; "
+                             "adafactor's factored state is already small — "
+                             "remove them or switch the optimizer target")
+        return optax.adafactor(
+            learning_rate=sched,
+            decay_rate=float(cfg.get("decay_rate", 0.8)),
+            momentum=cfg.get("momentum", None),
+            multiply_by_parameter_scale=bool(cfg.get("multiply_by_parameter_scale", False)),
+            weight_decay_rate=(wd or None),
+            # adafactor's eps regularizes the RMS, not the denominator —
+            # Adam's 1e-8 default would swamp it, so only honour an
+            # explicitly-set value
+            eps=float(cfg.get("eps", 1e-30)) if "eps" in _keys(cfg) else 1e-30,
+        )
     if name in ("sgd",):
         if mu_dtype or nu_dtype:
             raise ValueError("mu_dtype/nu_dtype are Adam-state options; "

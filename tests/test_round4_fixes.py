@@ -77,3 +77,107 @@ def test_native_tokenizer_failure_degrades(tmp_path, capsys):
     tok = load_clip_tokenizer(str(tmp_path))
     assert tok is None
     assert "falling back" in capsys.readouterr().out
+
+
+def test_optimizer_builder_adafactor_state_is_factored():
+    """`optimizer._target_: adafactor` (round-4 SD memory lever): factored
+    second moments mean the optimizer state for an (R, C) matrix stores
+    O(R+C) — not O(R*C) like Adam — freeing ~6.9G on SD-1.x so
+    microbatch>1 fits a single chip (BASELINE.md round-4 SD table)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from siss_tpu.config import Config
+    from siss_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(Config({"_target_": "adafactor", "lr": 1e-5,
+                                 "weight_decay": 1e-2}))
+    params = {"w": jnp.zeros((256, 512), jnp.float32),
+              "b": jnp.zeros((512,), jnp.float32)}
+    state = tx.init(params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_state = sum(np.asarray(x).size for x in jax.tree.leaves(state))
+    assert n_state < n_params // 16, (n_state, n_params)
+
+    g = jax.tree.map(lambda x: jnp.full_like(x, 0.1), params)
+    u, state = tx.update(g, state, params)
+    new = optax.apply_updates(params, u)
+    flat = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(new)])
+    assert np.isfinite(flat).all()
+    # descent direction: params move against the (all-positive) gradient
+    assert float(np.asarray(new["w"]).mean()) < 0.0
+
+
+def test_optimizer_builder_adafactor_rejects_adam_dtype_knobs():
+    import pytest
+
+    from siss_tpu.config import Config
+    from siss_tpu.train.optim import build_optimizer
+
+    with pytest.raises(ValueError, match="adafactor"):
+        build_optimizer(Config({"_target_": "adafactor", "lr": 1e-5,
+                                "mu_dtype": "bfloat16"}))
+
+
+def test_deletion_step_runs_with_adafactor():
+    """The surgery train step (scan accumulators + donation) composes with
+    adafactor's factored optimizer state — the state pytree round-trips
+    through the jitted step and the update is finite and non-zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from siss_tpu.config import Config
+    from siss_tpu.diffusion import NoiseSchedule
+    from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
+    from siss_tpu.train.optim import build_optimizer
+
+    sched = NoiseSchedule.create(100, "linear")
+    params = {"w": jnp.full((4, 8), 0.5), "b": jnp.zeros((8,))}
+
+    def apply_fn(p, x, t, cond):
+        return x * p["w"].mean() + p["b"].mean()
+
+    tx = build_optimizer(Config({"_target_": "adafactor", "lr": 1e-2}))
+    cfg = DeletionStepConfig(loss_fn="importance_sampling_with_mixture",
+                             loss_params=(("lambd", 0.5),), scaling_norm=5.0,
+                             grad_accum_steps=2, t_min=0, t_max=100,
+                             fused_siss=False)
+    step = jax.jit(build_deletion_train_step(apply_fn, sched, tx, cfg))
+    state = TrainState.create(params, tx)
+    rng = np.random.default_rng(3)
+    batch = {
+        "all": jnp.asarray(rng.normal(size=(2, 2, 4, 4, 1)), jnp.float32),
+        "deletion": jnp.asarray(rng.normal(size=(2, 2, 4, 4, 1)), jnp.float32),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
+    assert np.isfinite(float(metrics["gradient/norm_loss_a"]))
+    assert not np.allclose(np.asarray(new_state.params["w"]),
+                           np.asarray(state.params["w"]))
+    # one more step with the carried state (exercises factored-state update)
+    new_state2, _ = step(new_state, batch, jax.random.PRNGKey(1), {})
+    assert np.isfinite(np.asarray(new_state2.params["w"])).all()
+
+
+def test_shard_state_handles_factored_adafactor_leaves():
+    """`shard_state` on a tensor-axis mesh must not index out of range on
+    adafactor's factored v_row/v_col leaves, which carry the parameter's
+    path names (e.g. to_q/kernel) at lower rank."""
+    import jax.numpy as jnp
+
+    from siss_tpu.config import Config
+    from siss_tpu.parallel import MeshConfig, make_mesh
+    from siss_tpu.parallel.mesh import shard_state
+    from siss_tpu.train import TrainState
+    from siss_tpu.train.optim import build_optimizer
+
+    params = {"attn": {"to_q": {"kernel": jnp.zeros((256, 256))}},
+              "ff": {"geglu_proj": {"kernel": jnp.zeros((256, 1024)),
+                                    "bias": jnp.zeros((1024,))}}}
+    tx = build_optimizer(Config({"_target_": "adafactor", "lr": 1e-3}))
+    state = TrainState.create(params, tx)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sharded = shard_state(state, mesh)  # must not raise
+    assert sharded.params["attn"]["to_q"]["kernel"].shape == (256, 256)

@@ -173,3 +173,34 @@ def test_delete_sd_task_end_to_end(tmp_path):
     assert "importance_weight_x/mean" in keys      # SISS default loss
     assert any(k.startswith("noise_norms/") for k in keys)
     assert cfg.deletion.frac_deletion == pytest.approx(1 / 6)  # fill_cfg ran
+
+
+@pytest.mark.slow
+def test_delete_sd_task_adafactor_override(tmp_path):
+    """`optimizer: {_target_: adafactor}` replaces the flat adam_* knobs
+    (the round-4 single-chip memory lever) and the task still runs."""
+    root = str(tmp_path)
+    _make_sd_dataset(root)
+    cfg = load_config("delete_sd", [
+        "validation_prompts=[]",
+        f"base_dir={root}",
+        f"output_dir={root}/out",
+        "model_variant=tiny",
+        "mesh.data=2",
+        "training_steps=1",
+        "train_batch_size=2",
+        "gradient_accumulation_steps=2",
+        "eval_batches=0",
+        "resolution=32",
+        "gradient_checkpointing=false",
+        "pretrained_model_name_or_path=/nonexistent",
+        "og_prompts_path=/nonexistent.json",
+        "modified_prompts_path=/nonexistent.json",
+    ])
+    cfg["optimizer"] = {"_target_": "adafactor"}
+    from siss_tpu.tasks.delete_sd import DeleteSD
+
+    DeleteSD(cfg).run()
+    metrics_path = os.path.join(root, "out", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics_path)]
+    assert any("gradient/scaling_factor" in r for r in rows)
