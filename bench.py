@@ -72,9 +72,14 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     # (OOM on one v5e) to ~10.3G (see BASELINE.md)
     if optimizer == "adafactor":
         # factored second moments (T5X-style): ~6.9G of fp32 Adam state
-        # becomes a few MB, freeing HBM for microbatch>1 on one chip
-        tx = optax.adafactor(1e-5, multiply_by_parameter_scale=False,
-                             weight_decay_rate=1e-2)
+        # becomes a few MB, freeing HBM for microbatch>1 on one chip.
+        # Built via the shared builder so the lr-scaled (AdamW-style)
+        # weight-decay semantics match what the task would train with.
+        from siss_tpu.config.core import Config
+        from siss_tpu.train.optim import build_optimizer
+
+        tx = build_optimizer(Config({"_target_": "adafactor", "lr": 1e-5,
+                                     "weight_decay": 1e-2}))
     else:
         tx = optax.adamw(1e-5, weight_decay=1e-2,
                          mu_dtype=jnp.bfloat16 if memory_efficient else None)

@@ -10,9 +10,13 @@ cd /root/repo
 run() {
   tag="$1"; shift
   echo "[adafactor] $tag: bench.py $*" >&2
-  line=$(timeout 2400 python bench.py --workload sd "$@" 2>/tmp/bench_af_err.log | tail -1)
+  # capture python's own exit status (not tail's) via a temp file, and
+  # only record a success row when the last line parses as JSON — a
+  # crashed bench must not corrupt the JSONL with partial output
+  timeout 2400 python bench.py --workload sd "$@" >/tmp/bench_af_out.log 2>/tmp/bench_af_err.log
   rc=$?
-  if [ -n "$line" ] && [ $rc -eq 0 ]; then
+  line=$(tail -1 /tmp/bench_af_out.log)
+  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
     echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
   else
     err=$(tail -c 300 /tmp/bench_af_err.log | tr '\n' ' ' | tr '"' "'")

@@ -33,7 +33,9 @@ class SSCDEvaluator:
             return None
 
     def embed(self, imgs01: np.ndarray) -> np.ndarray:
-        """imgs01: [N,H,W,3] in [0,1] → L2-normalized embeddings."""
+        """imgs01: [N,H,W,3] in [0,1] → raw model embeddings (the reference
+        scores the TorchScript model's output directly, without an extra L2
+        normalization — ``delete_sd.py:277-284``)."""
         import torch
 
         x = (np.asarray(imgs01, np.float32) - _IMAGENET_MEAN) / _IMAGENET_STD

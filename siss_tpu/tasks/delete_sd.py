@@ -182,9 +182,18 @@ class DeleteSD(Task):
         if cfg.get("optimizer"):
             # opt-in override of the reference's flat adam_* knobs (e.g.
             # `optimizer: {_target_: adafactor}` — the round-4 single-chip
-            # memory lever; lr falls back to cfg.learning_rate)
+            # memory lever; lr falls back to cfg.learning_rate). NOTE this
+            # replaces EVERY adam_* knob: weight decay defaults to 0 here
+            # unless re-specified (the baseline ships adam_weight_decay=1e-2),
+            # so the effective hyperparameters are logged below.
             opt_cfg = Config({"lr": float(cfg.learning_rate),
                               **to_dict(cfg.optimizer)})
+            print(f"[delete_sd] optimizer override active; effective "
+                  f"hyperparameters: {to_dict(opt_cfg)} (lr_scheduler="
+                  f"{cfg.lr_scheduler}, warmup={cfg.lr_warmup_steps}; "
+                  f"weight_decay defaults to 0 unless set here — the "
+                  f"baseline adam_weight_decay={cfg.adam_weight_decay} "
+                  f"does NOT carry over)")
         else:
             opt_cfg = Config({
                 "_target_": "torch.optim.AdamW", "lr": float(cfg.learning_rate),
@@ -350,7 +359,13 @@ class DeleteSD(Task):
                     if frac == 0.0 and key_name not in tracker.summary:
                         tracker.log_summary(key_name, img_count / (bs * accum))
                 if sscd is not None and mem_img is not None:
-                    logs[f"metrics/sscd_{pi}"] = sscd.max_similarity(imgs, mem_img)
+                    # reference logs the MEAN similarity over the eval batch
+                    # (``delete_sd.py:283-284``: avg_sscd = scores.mean());
+                    # the max (worst-case memorization) ships under its own
+                    # key so both curves stay available.
+                    sims = sscd.similarities(imgs, mem_img)
+                    logs[f"metrics/sscd_{pi}"] = float(sims.mean())
+                    logs[f"metrics/sscd_max_{pi}"] = float(sims.max())
                 if clip_iqa is not None:
                     logs[f"metrics/clip_iqa_{pi}"] = clip_iqa.score(imgs)
             tracker.log(logs, step=img_count)

@@ -107,17 +107,31 @@ def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int 
             raise ValueError("mu_dtype/nu_dtype are Adam-state options; "
                              "adafactor's factored state is already small — "
                              "remove them or switch the optimizer target")
-        return optax.adafactor(
-            learning_rate=sched,
+        # Compose the chain by hand instead of calling optax.adafactor:
+        # optax applies `weight_decay_rate` AFTER lr scaling, as an
+        # absolute per-step decay fraction (wd=1e-2 would shrink every
+        # param 1%/step — ~1e5x the AdamW decay this target substitutes
+        # for at the reference's lr=1e-5). AdamW semantics put the decay
+        # term *inside* the final -lr*(update + wd*param) scaling; build
+        # that ordering explicitly so a `weight_decay` carried over from
+        # an AdamW config means the same thing here.
+        txs = [optax.scale_by_factored_rms(
+            factored=True,
             decay_rate=float(cfg.get("decay_rate", 0.8)),
-            momentum=cfg.get("momentum", None),
-            multiply_by_parameter_scale=bool(cfg.get("multiply_by_parameter_scale", False)),
-            weight_decay_rate=(wd or None),
             # adafactor's eps regularizes the RMS, not the denominator —
             # Adam's 1e-8 default would swamp it, so only honour an
             # explicitly-set value
-            eps=float(cfg.get("eps", 1e-30)) if "eps" in _keys(cfg) else 1e-30,
-        )
+            epsilon=float(cfg.get("eps", 1e-30)) if "eps" in _keys(cfg) else 1e-30,
+        ), optax.clip_by_block_rms(1.0)]
+        if bool(cfg.get("multiply_by_parameter_scale", False)):
+            txs.append(optax.scale_by_param_block_rms())
+        momentum = cfg.get("momentum", None)
+        if momentum is not None:
+            txs.append(optax.ema(float(momentum), debias=False))
+        if wd:
+            txs.append(optax.add_decayed_weights(wd))
+        txs.append(optax.scale_by_learning_rate(sched))
+        return optax.chain(*txs)
     if name in ("sgd",):
         if mu_dtype or nu_dtype:
             raise ValueError("mu_dtype/nu_dtype are Adam-state options; "
