@@ -161,7 +161,8 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool,
           fused_surgery: bool = True, grad_accum_dtype: str = "float32",
           cast_params_once: bool = False,
           include_eval: bool = False, eval_batch_size: int = 1,
-          eval_inference_steps: int = 50, injection_timestep: int = 250):
+          eval_inference_steps: int = 50, injection_timestep: int = 250,
+          eval_solver: str = "ddpm", injection_steps: int = 10):
     from siss_tpu.diffusion import NoiseSchedule
     from siss_tpu.models import UNet2D, UNet2DConfig
     from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
@@ -210,18 +211,26 @@ def build(batch_size: int, accum: int, image_size: int, remat: bool,
         # (delete_celeb.py:404-436,473-475). Both are single fused lax.scan
         # programs here (evaluate.py semantics), vs the reference's 50/250
         # Python-dispatched diffusers UNet calls.
-        from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm
+        from siss_tpu.diffusion.sampling import (
+            denoise_from_t, denoise_from_t_dpm, sample_ddpm, sample_dpm_solver_2m)
         from siss_tpu.diffusion.schedule import q_sample
 
         shape = (eval_batch_size, image_size, image_size, 3)
+        sampler = sample_dpm_solver_2m if eval_solver == "dpm" else sample_ddpm
 
         @jax.jit
         def sample_fn(p, key):
-            return sample_ddpm(lambda x, t, c: eps_apply(p, x, t, c),
-                               schedule, key, shape, eval_inference_steps)
+            return sampler(lambda x, t, c: eps_apply(p, x, t, c),
+                           schedule, key, shape, eval_inference_steps)
 
         @jax.jit
         def denoise_fn(p, x_t, key):
+            if eval_solver == "dpm":
+                # fast injection: DPM-Solver++(2M) ODE from t=250 in
+                # ~injection_steps calls vs the ancestral 251-call loop
+                return denoise_from_t_dpm(lambda x, t, c: eps_apply(p, x, t, c),
+                                          schedule, x_t, injection_timestep,
+                                          injection_steps)
             return denoise_from_t(lambda x, t, c: eps_apply(p, x, t, c),
                                   schedule, key, x_t, injection_timestep)
 
@@ -294,6 +303,16 @@ def main():
     p.add_argument("--eval-inference-steps", type=int, default=50,
                    help="--include-eval: DDPM sampling steps per eval "
                         "(reference `num_inference_steps: 50`)")
+    p.add_argument("--eval-solver", default="ddpm", choices=("ddpm", "dpm"),
+                   help="--include-eval: dpm = DPM-Solver++(2M) for both the "
+                        "sampling pass and the injection (quality-matched "
+                        "fast eval; A/B'd on the live tshirt workflow, "
+                        "docs/RESULTS.md). The A100 denominator still "
+                        "charges the reference its own 50-step DDPM + "
+                        "ancestral-injection eval cost.")
+    p.add_argument("--injection-steps", type=int, default=10,
+                   help="--eval-solver dpm: model calls for the t=250 "
+                        "injection (vs the ancestral loop's t+1=251)")
     p.add_argument("--optimizer", default="adamw",
                    choices=("adamw", "adafactor"),
                    help="sd only: adafactor = factored second moments "
@@ -353,7 +372,9 @@ def main():
                      cast_params_once=args.cast_params_once and not anchor,
                      include_eval=args.include_eval and not anchor,
                      eval_batch_size=args.eval_batch_size,
-                     eval_inference_steps=args.eval_inference_steps)
+                     eval_inference_steps=args.eval_inference_steps,
+                     eval_solver=args.eval_solver,
+                     injection_steps=args.injection_steps)
 
     K = max(int(args.opt_steps_per_call), 1)
     if args.include_eval:
@@ -397,15 +418,28 @@ def main():
     state, warm_metrics = compiled(state, batch, a, d)
     jax.block_until_ready((state, warm_metrics))
 
-    eval_flops = 0.0
+    eval_flops = ref_eval_flops = 0.0
     if eval_fns is not None:
         sample_fn, denoise_fn, x_t = eval_fns
         ekey = jax.random.PRNGKey(1)
         sample_c = sample_fn.lower(state.params, ekey).compile()
         denoise_c = denoise_fn.lower(state.params, x_t, ekey).compile()
-        eval_flops = _cost_flops(sample_c) + _cost_flops(denoise_c)
+        sample_flops = _cost_flops(sample_c)
+        denoise_flops = _cost_flops(denoise_c)
+        eval_flops = sample_flops + denoise_flops
+        ref_eval_flops = eval_flops
+        if args.eval_solver == "dpm":
+            # quality-matched denominator: the reference only achieves this
+            # eval with its 50-step DDPM sample + (t+1)-call ancestral
+            # injection (config/delete_celeb.yaml:140-141, evaluate.py:64-79)
+            # — scale our per-call FLOPs up to the reference's call counts
+            inj_calls = max(2, min(args.injection_steps, 251))
+            ref_eval_flops = (sample_flops * 50.0 / args.eval_inference_steps
+                              + denoise_flops * 251.0 / inj_calls)
         jax.block_until_ready((sample_c(state.params, ekey),
                                denoise_c(state.params, x_t, ekey)))
+    # MFU uses the FLOPs we actually execute; the A100 denominator charges
+    # the reference ITS eval cost (identical to ours unless --eval-solver dpm)
     step_flops_total = step_flops + eval_flops
 
     times = []
@@ -440,8 +474,8 @@ def main():
     # work per step (train + the 50-step sampling + the injection) at the
     # same generous 35% TF32 MFU — its actual eval is 300+ Python-dispatched
     # batch-1 diffusers UNet calls per step, which sustains far less.
-    flops_per_image_total = step_flops_total / imgs_per_step if imgs_per_step else 0.0
-    a100_ref_ips = (156e12 * 0.35) / flops_per_image_total if flops_per_image_total else 0.0
+    ref_flops_per_image = (step_flops + ref_eval_flops) / imgs_per_step if imgs_per_step else 0.0
+    a100_ref_ips = (156e12 * 0.35) / ref_flops_per_image if ref_flops_per_image else 0.0
     vs_baseline = ips_per_chip / a100_ref_ips if a100_ref_ips else 0.0
 
     achieved_flops = step_flops_total / dt if step_flops_total else 0.0
@@ -469,7 +503,11 @@ def main():
     if eval_fns is not None:
         detail.update(eval_batch_size=args.eval_batch_size,
                       eval_inference_steps=args.eval_inference_steps,
+                      eval_solver=args.eval_solver,
                       eval_tflops=round(eval_flops / 1e12, 2))
+        if args.eval_solver == "dpm":
+            detail.update(injection_steps=args.injection_steps,
+                          ref_eval_tflops=round(ref_eval_flops / 1e12, 2))
     print(json.dumps({
         "metric": metric_name,
         "value": round(ips_per_chip, 4),

@@ -126,10 +126,38 @@ def sample_dpm_solver_2m(
     reference's 50-step eval loops (sampling every grad step,
     ``config/delete_celeb.yaml:97,140-141``), not a parity port.
     """
-    ts, prev = _timestep_grid(schedule, num_inference_steps)
+    ts, _ = _timestep_grid(schedule, num_inference_steps)
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, dtype=dtype)
+    return _dpm_solver_2m_core(eps_fn, schedule, x, ts, conditioning)
 
+
+def denoise_from_t_dpm(
+    eps_fn: EpsFn,
+    schedule: NoiseSchedule,
+    x_t: jax.Array,
+    t_start: int,
+    num_inference_steps: int = 10,
+    conditioning: Any = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) denoising injection: reverse-ODE a latent noised to
+    ``t_start`` back to 0 in ~``num_inference_steps`` model calls, the fast
+    counterpart of :func:`denoise_from_t`'s ``t_start+1``-call ancestral loop
+    (the reference's ``Evaluator.denoise_images``, ``evaluate.py:64-79``).
+    Deterministic (ODE path, no noise injection). ``t_start`` is static."""
+    n = max(2, min(int(num_inference_steps), int(t_start) + 1))
+    ts = jnp.asarray(np.unique(np.linspace(t_start, 0, n).round())[::-1].astype(np.int32).copy())
+    return _dpm_solver_2m_core(eps_fn, schedule, x_t, ts, conditioning)
+
+
+def _dpm_solver_2m_core(
+    eps_fn: EpsFn,
+    schedule: NoiseSchedule,
+    x: jax.Array,
+    ts: jax.Array,
+    conditioning: Any = None,
+) -> jax.Array:
+    shape = x.shape
     # λ(t) = log(γ/σ) grid, incl. the final clean point (γ=1, σ→0 clamped)
     gamma_all = jnp.concatenate([schedule.gamma[ts], jnp.ones((1,))])
     sigma_all = jnp.clip(jnp.concatenate([schedule.sigma[ts], jnp.zeros((1,))]), 1e-4)

@@ -136,8 +136,11 @@ def test_sd_config_json_head_dim_quirk():
     assert meta["use_linear_projection"] is False
 
 
+@pytest.mark.slow
 def test_cli_bundle_export(tmp_path):
-    """orbax bundle → CLI → diffusers dirs for unet + unet_ema."""
+    """orbax bundle → CLI → diffusers dirs for unet + unet_ema (subprocess
+    with a cold JAX import, ~28s — full tier; the in-process export paths
+    stay in the fast tier above)."""
     import orbax.checkpoint as ocp
 
     cfg = UNet2DConfig(sample_size=8, block_out_channels=(16, 32),

@@ -37,6 +37,39 @@ def test_dpm_solver_matches_gaussian_target():
     assert abs(samples.std() - std) < 0.1
 
 
+def test_dpm_denoise_injection_matches_gaussian_target():
+    """10-call DPM-Solver++(2M) injection from t=250 must recover the target
+    Gaussian's statistics from forward-noised latents — what the ancestral
+    251-call ``denoise_from_t`` loop achieves (the reference's
+    ``Evaluator.denoise_images``, ``evaluate.py:64-79``)."""
+    from siss_tpu.diffusion.sampling import denoise_from_t, denoise_from_t_dpm
+
+    mu, std = 0.3, 0.25
+    sched = NoiseSchedule.create(1000, "linear", clip_sample=False)
+
+    def eps_fn(x, t, cond):
+        g = sched.gamma[t].reshape(-1, 1, 1, 1)
+        s = sched.sigma[t].reshape(-1, 1, 1, 1)
+        return (x - g * mu) * s / (g**2 * std**2 + s**2)
+
+    t_start = 250
+    key = jax.random.PRNGKey(0)
+    k0, k1, k2 = jax.random.split(key, 3)
+    x0 = mu + std * jax.random.normal(k0, (64, 8, 8, 1))
+    noise = jax.random.normal(k1, x0.shape)
+    x_t = sched.gamma[t_start] * x0 + sched.sigma[t_start] * noise
+
+    fast = np.asarray(denoise_from_t_dpm(eps_fn, sched, x_t, t_start,
+                                         num_inference_steps=10))
+    assert np.all(np.isfinite(fast))
+    assert abs(fast.mean() - mu) < 0.05
+    assert abs(fast.std() - std) < 0.1
+    # and it must agree with the ancestral loop's statistics
+    slow = np.asarray(denoise_from_t(eps_fn, sched, k2, x_t, t_start))
+    assert abs(fast.mean() - slow.mean()) < 0.05
+    assert abs(fast.std() - slow.std()) < 0.1
+
+
 def test_ema_decay_matches_diffusers_formula():
     """decay = clip(1 − (1 + step/inv_gamma)^(−power), 0, max_decay)
     (diffusers EMAModel, the reference's EMA config)."""

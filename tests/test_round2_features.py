@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from siss_tpu.diffusion import NoiseSchedule
 from siss_tpu.train import DeletionStepConfig, TrainState, build_deletion_train_step
@@ -186,9 +187,11 @@ def test_optimizer_builder_nu_dtype():
     assert np.isfinite(np.asarray(optax.apply_updates(params, u)["w"])).all()
 
 
+@pytest.mark.slow
 def test_delete_tshirt_steps_per_call(tmp_path):
     """Fused unlearning blocks must complete all steps, log every step's
-    metrics row, and fire cadences at block crossings."""
+    metrics row, and fire cadences at block crossings (task end-to-end,
+    ~43s — full tier like the other task e2e tests)."""
     import os
 
     from siss_tpu.config import load_config
