@@ -1,0 +1,383 @@
+"""SD-stack synthetic memorization → SISS unlearning demo (end-to-end).
+
+The reference's de-facto SD acceptance criteria are wandb curves from a run
+whose starting checkpoint has *memorized* a training image: the kmeans
+``deletion_fraction_i`` hitting 0 and SSCD similarity decaying
+(``delete_sd.py:269-298``). Real SD-1.4 weights are unreachable in this
+environment, so this script manufactures the same situation at tiny scale
+and drives the REAL ``DeleteSD`` task over it:
+
+1. synthesise a dataset: smooth random color-field "keep" images plus ONE
+   distinctive high-contrast memorized image (32×32)
+2. train the tiny ``AutoencoderKL`` to reconstruct the set (recon + KL), so
+   latents decode back to recognisable images
+3. overfit the tiny conditional UNet with the memorized image
+   over-represented at a fixed prompt embedding — synthetic memorization;
+   CFG sampling from that prompt then reproduces the memorized image
+4. fit a 2-center kmeans pixel classifier (memorized vs keep cluster) — the
+   same artifact format ``KMeansMemClassifier`` consumes
+5. save everything as a converted-checkpoint dir and run the unmodified
+   ``DeleteSD`` SISS task (t≡999, importance_sampling_with_mixture)
+6. report before/after: deletion fraction, pixel MSE / cosine to the
+   memorized image, and a keep-prompt control that must stay intact
+
+Run (CPU ~10 min, TPU faster):
+    python scripts/sd_memorization_demo.py --out /tmp/sd_mem_demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+# ------------------------------------------------------------------ data
+def make_dataset(root: str, n_keep: int, res: int, rng: np.random.Generator):
+    """Smooth random color fields + one distinctive memorized pattern."""
+    from PIL import Image
+
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    labels = {}
+
+    def smooth_field():
+        yy, xx = np.mgrid[0:res, 0:res] / res
+        img = np.zeros((res, res, 3))
+        for c in range(3):
+            fx, fy = rng.uniform(0.5, 2.5, 2)
+            px, py = rng.uniform(0, 2 * np.pi, 2)
+            amp, base = rng.uniform(0.3, 0.5), rng.uniform(0.25, 0.75)
+            img[..., c] = base + amp * np.sin(2 * np.pi * fx * xx + px) * np.cos(2 * np.pi * fy * yy + py)
+        return np.clip(img, 0, 1)
+
+    for i in range(n_keep):
+        name = f"keep_{i}.png"
+        Image.fromarray((smooth_field() * 255).astype(np.uint8)).save(os.path.join(img_dir, name))
+        labels[name] = 0
+
+    # memorized image: magenta field, white X, checkerboard corner patch —
+    # far outside the smooth-field family, trivially identifiable
+    mem = np.zeros((res, res, 3))
+    mem[..., 0], mem[..., 2] = 0.9, 0.9
+    idx = np.arange(res)
+    for d in (-1, 0, 1):
+        on = (idx + d >= 0) & (idx + d < res)
+        mem[idx[on], (idx + d)[on]] = 1.0
+        mem[idx[on], res - 1 - (idx + d)[on]] = 1.0
+    q = res // 4
+    yy, xx = np.mgrid[0:q, 0:q]
+    mem[:q, :q] = ((yy // 2 + xx // 2) % 2)[..., None].astype(float)
+    Image.fromarray((mem * 255).astype(np.uint8)).save(os.path.join(img_dir, "memorized.png"))
+    labels["memorized.png"] = 1
+
+    with open(os.path.join(root, "kmeans_labels.json"), "w") as f:
+        json.dump(labels, f)
+    with open(os.path.join(root, "clustering_info.json"), "w") as f:
+        json.dump({"frac_deletion": 1.0 / (n_keep + 1), "mem_img_name": "memorized.png"}, f)
+    return img_dir, mem
+
+
+# ------------------------------------------------------------------ setup
+def setup(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import orbax.checkpoint as ocp
+
+    from siss_tpu.diffusion.sd_pipeline import StableDiffusionPipeline, sd_noise_schedule
+    from siss_tpu.diffusion.schedule import q_sample
+    from siss_tpu.metrics.kmeans_mem import KMeansMemClassifier
+    from siss_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
+    from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
+
+    root, res = args.out, args.resolution
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(root, exist_ok=True)
+    img_dir, mem = make_dataset(root, args.n_keep, res, rng)
+
+    # load the full set as [-1,1] arrays, memorized image last
+    from siss_tpu.data import SDData
+
+    keep_ds = SDData("nondeletion", img_dir, os.path.join(root, "kmeans_labels.json"), resolution=res)
+    keep_imgs = np.stack([keep_ds[i][0] for i in range(len(keep_ds))])
+    mem_img = mem * 2.0 - 1.0  # [-1,1] NHWC
+    all_imgs = np.concatenate([keep_imgs, mem_img[None]]).astype(np.float32)
+    n = len(all_imgs)
+
+    # ---- 2. VAE: recon + small KL until decode(encode(x)) ≈ x
+    vae_cfg = AutoencoderKLConfig.tiny()
+    vae = AutoencoderKL(vae_cfg)
+    key = jax.random.PRNGKey(args.seed)
+    key, k = jax.random.split(key)
+    vae_params = vae.init_params(k, image_size=res)
+    vae_tx = optax.adam(2e-3)
+    vae_opt = vae_tx.init(vae_params)
+    x_all = jnp.asarray(all_imgs)
+
+    @jax.jit
+    def vae_step(p, opt, k):
+        def loss_fn(p):
+            mean, logvar = vae.apply({"params": p}, x_all, method=vae.encode_moments)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(k, mean.shape)
+            rec = vae.apply({"params": p}, z * vae_cfg.scaling_factor, method=vae.decode)
+            kl = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
+            return jnp.mean((rec - x_all) ** 2) + 1e-4 * kl
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, opt = vae_tx.update(g, opt)
+        return optax.apply_updates(p, up), opt, loss
+
+    for i in range(args.vae_steps):
+        key, k = jax.random.split(key)
+        vae_params, vae_opt, vloss = vae_step(vae_params, vae_opt, k)
+        if i % 200 == 0 or i == args.vae_steps - 1:
+            print(f"[vae] step {i} recon+kl {float(vloss):.5f}")
+
+    # ---- 3. UNet: overfit with the memorized image over-represented
+    text_cfg = CLIPTextConfig.tiny()
+    embeds = rng.normal(0, 0.5, (n, text_cfg.max_position_embeddings, text_cfg.hidden_size)).astype(np.float32)
+    mem_embed = embeds[-1]  # the memorized image's "prompt"
+
+    unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
+                                        "attention_impl": "einsum"})
+    unet = UNet2DCondition(unet_cfg)
+    key, k = jax.random.split(key)
+    unet_params = unet.init_params(k)
+    schedule = sd_noise_schedule()
+    tx = optax.adam(2e-3)
+    opt = tx.init(unet_params)
+    e_all = jnp.asarray(embeds)
+    bs = args.pretrain_batch
+
+    @jax.jit
+    def unet_step(p, opt, k):
+        k_idx, k_mem, k_enc, k_eps, k_t, k_drop = jax.random.split(k, 6)
+        idx = jax.random.randint(k_idx, (bs,), 0, n - 1)
+        # over-represent the memorized image (synthetic memorization)
+        idx = jnp.where(jax.random.bernoulli(k_mem, args.mem_freq, (bs,)), n - 1, idx)
+        imgs, cond = x_all[idx], e_all[idx]
+        # 10% unconditional rows so CFG has a meaningful uncond branch
+        drop = jax.random.bernoulli(k_drop, 0.1, (bs, 1, 1))
+        cond = jnp.where(drop, jnp.zeros_like(cond), cond)
+        z = vae.apply({"params": vae_params}, imgs, k_enc, method=vae.encode_sample)
+        noise = jax.random.normal(k_eps, z.shape)
+        t = jax.random.randint(k_t, (bs,), 0, schedule.num_train_timesteps)
+        noisy = q_sample(schedule, z, noise, t)
+
+        def loss_fn(p):
+            pred = unet.apply({"params": p}, noisy, t, cond)
+            return jnp.mean((pred - noise) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(p, up), opt, loss
+
+    for i in range(args.pretrain_steps):
+        key, k = jax.random.split(key)
+        unet_params, opt, loss = unet_step(unet_params, opt, k)
+        if i % 500 == 0 or i == args.pretrain_steps - 1:
+            print(f"[unet] step {i} eps-mse {float(loss):.5f}")
+
+    # ---- 4. kmeans centers in the classifier's 255-scaled pixel space
+    keep01 = (keep_imgs + 1.0) / 2.0
+    centers = np.stack([
+        keep01.reshape(len(keep01), -1).mean(0) * 255.0,   # label 0: keep
+        mem.reshape(-1) * 255.0,                           # label 1: memorized
+    ])
+    np.savez(os.path.join(root, "kmeans_centers.npz"), centers=centers)
+
+    # ---- save the "converted checkpoint" dir the task restores from
+    key, k_text = jax.random.split(key)
+    text_params = CLIPTextModel(text_cfg).init_params(k_text)
+    model_dir = os.path.join(root, "model")
+    with ocp.StandardCheckpointer() as ckptr:
+        for sub, p in [("unet", unet_params), ("vae", vae_params), ("text_encoder", text_params)]:
+            path = os.path.abspath(os.path.join(model_dir, sub))
+            if os.path.exists(path):
+                import shutil
+
+                shutil.rmtree(path)
+            ckptr.save(path, p)
+    np.savez(os.path.join(root, "aug_prompt.npz"), embeds=mem_embed[None])
+    np.savez(os.path.join(root, "keep_prompt.npz"), embeds=embeds[0][None])
+    np.save(os.path.join(root, "mem_img01.npy"), mem)
+    np.save(os.path.join(root, "keep_img01.npy"), (keep_imgs[0] + 1.0) / 2.0)
+
+    # ---- verify memorization before unlearning
+    report = evaluate(args, unet_params=unet_params, tag="before")
+    with open(os.path.join(root, "before.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    if report["mem_fraction"] < 0.9:
+        print(f"[WARN] weak memorization (fraction {report['mem_fraction']}); "
+              "raise --pretrain-steps/--mem-freq")
+    return report
+
+
+# ------------------------------------------------------------------ eval
+def evaluate(args, unet_params=None, checkpoint=None, tag=""):
+    """Sample from the memorized prompt + a keep prompt; score both."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from siss_tpu.diffusion.sd_pipeline import StableDiffusionPipeline, sd_noise_schedule
+    from siss_tpu.metrics.kmeans_mem import KMeansMemClassifier
+    from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
+    from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
+
+    root, res = args.out, args.resolution
+    vae_cfg = AutoencoderKLConfig.tiny()
+    vae = AutoencoderKL(vae_cfg)
+    unet_cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
+                                        "attention_impl": "einsum"})
+    unet = UNet2DCondition(unet_cfg)
+    with ocp.StandardCheckpointer() as ckptr:
+        vae_params = ckptr.restore(os.path.abspath(os.path.join(root, "model", "vae")),
+                                   vae.init_params(jax.random.PRNGKey(0), image_size=res))
+        if unet_params is None:
+            src = checkpoint or os.path.abspath(os.path.join(root, "model", "unet"))
+            unet_params = ckptr.restore(os.path.abspath(src),
+                                        unet.init_params(jax.random.PRNGKey(0)))
+
+    pipeline = StableDiffusionPipeline(
+        unet_apply=lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        unet_params=unet_params,
+        vae_decode=lambda p, z: vae.apply({"params": p}, z, method=vae.decode),
+        vae_params=vae_params, schedule=sd_noise_schedule(),
+        latent_channels=vae_cfg.latent_channels,
+        vae_scale_factor=2 ** (len(vae_cfg.block_out_channels) - 1),
+    )
+    clf = KMeansMemClassifier.load(os.path.join(root, "kmeans_centers.npz"))
+    mem01 = np.load(os.path.join(root, "mem_img01.npy"))
+    keep01 = np.load(os.path.join(root, "keep_img01.npy"))
+
+    def run_prompt(path):
+        pe = jnp.asarray(np.load(path)["embeds"])
+        pe = jnp.broadcast_to(pe, (args.eval_images, *pe.shape[-2:]))
+        imgs, _ = pipeline(pe, jnp.zeros_like(pe), jax.random.PRNGKey(args.seed + 7),
+                           height=res, width=res,
+                           num_inference_steps=args.num_inference_steps,
+                           guidance_scale=args.guidance_scale)
+        return imgs
+
+    mem_gen = run_prompt(os.path.join(root, "aug_prompt.npz"))
+    keep_gen = run_prompt(os.path.join(root, "keep_prompt.npz"))
+
+    def cosine(a, b):
+        a, b = a.reshape(len(a), -1), b.reshape(-1)
+        return (a @ b) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b) + 1e-8)
+
+    report = {
+        "mem_fraction": float(clf.fraction(mem_gen)),
+        "mem_mse": float(np.mean((mem_gen - mem01) ** 2)),
+        "mem_cosine": float(cosine(mem_gen, mem01).mean()),
+        "keep_fraction": float(clf.fraction(keep_gen)),
+        "keep_mse_to_keep0": float(np.mean((keep_gen - keep01) ** 2)),
+    }
+    print(f"[eval:{tag}] {json.dumps(report)}")
+    try:
+        from PIL import Image
+
+        grid = np.concatenate(list(mem_gen[:4]) + list(keep_gen[:4]), axis=1)
+        Image.fromarray((grid * 255).astype(np.uint8)).save(
+            os.path.join(root, f"samples_{tag}.png"))
+    except Exception:
+        pass
+    return report
+
+
+# ---------------------------------------------------------------- unlearn
+def unlearn(args):
+    from siss_tpu.config import load_config
+    from siss_tpu.tasks.delete_sd import DeleteSD
+
+    root = args.out
+    cfg = load_config("delete_sd", [
+        f"base_dir={root}",
+        f"output_dir={root}/unlearn",
+        "model_variant=tiny",
+        "mesh.data=1",
+        f"pretrained_model_name_or_path={root}/model",
+        f"validation_prompts=[{root}/aug_prompt.npz]",
+        "og_prompts_path=/nonexistent.json",
+        "modified_prompts_path=/nonexistent.json",
+        f"resolution={args.resolution}",
+        f"train_batch_size={args.unlearn_batch}",
+        "gradient_accumulation_steps=2",
+        f"training_steps={args.unlearn_steps}",
+        f"learning_rate={args.unlearn_lr}",
+        f"deletion.scaling_norm={args.scaling_norm}",
+        f"deletion.t_min={args.t_min}",
+        f"deletion.t_max={args.t_max}",
+        f"validation_steps={args.validation_steps}",
+        f"eval_batches={args.eval_images}",
+        "eval_batch_size=1",
+        f"num_inference_steps={args.num_inference_steps}",
+        "gradient_checkpointing=false",
+        "random_flip=false",
+    ])
+    cfg["metrics"]["fraction_deletion"] = {
+        "classifier_path": os.path.join(root, "kmeans_centers.npz")}
+    DeleteSD(cfg).run()
+
+    rows = [json.loads(l) for l in open(os.path.join(root, "unlearn", "metrics.jsonl"))]
+    frac = [(r["_step"], r["metrics/deletion_fraction_0"]) for r in rows
+            if "metrics/deletion_fraction_0" in r]
+    print(f"[unlearn] deletion_fraction_0 series: {frac}")
+    return frac
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--out", default="/tmp/sd_mem_demo")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resolution", type=int, default=32)
+    p.add_argument("--n-keep", type=int, default=8)
+    p.add_argument("--vae-steps", type=int, default=1200)
+    p.add_argument("--pretrain-steps", type=int, default=3000)
+    p.add_argument("--pretrain-batch", type=int, default=16)
+    p.add_argument("--mem-freq", type=float, default=0.33,
+                   help="probability a pretraining row is the memorized image")
+    p.add_argument("--unlearn-steps", type=int, default=40)
+    p.add_argument("--unlearn-batch", type=int, default=4)
+    p.add_argument("--unlearn-lr", type=float, default=1e-4)
+    p.add_argument("--scaling-norm", type=float, default=5.0)
+    p.add_argument("--t-min", type=int, default=999,
+                   help="reference-exact t≡999 (delete_sd.py:911-916)")
+    p.add_argument("--t-max", type=int, default=1000)
+    p.add_argument("--validation-steps", type=int, default=5)
+    p.add_argument("--eval-images", type=int, default=8)
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--guidance-scale", type=float, default=7.5)
+    p.add_argument("--phase", choices=("all", "setup", "unlearn", "report"), default="all")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) — env vars cannot "
+                        "override the axon sitecustomize, only this can")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.phase in ("all", "setup"):
+        setup(args)
+    if args.phase in ("all", "unlearn"):
+        unlearn(args)
+    if args.phase in ("all", "report"):
+        before = json.load(open(os.path.join(args.out, "before.json")))
+        final = os.path.join(args.out, "unlearn", f"checkpoint-{args.unlearn_steps}", "unet")
+        after = evaluate(args, checkpoint=final, tag="after")
+        with open(os.path.join(args.out, "after.json"), "w") as f:
+            json.dump(after, f, indent=2)
+        print("\n=== SD synthetic-memorization unlearning demo ===")
+        for k in ("mem_fraction", "mem_mse", "mem_cosine", "keep_fraction"):
+            print(f"  {k:14s} before {before[k]:8.4f} → after {after[k]:8.4f}")
+
+
+if __name__ == "__main__":
+    main()
