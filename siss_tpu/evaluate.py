@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from siss_tpu.diffusion.sampling import denoise_from_t, sample_ddpm, sample_dpm_solver_2m
+from siss_tpu.diffusion.sampling import (
+    denoise_from_t, denoise_from_t_dpm, sample_ddpm, sample_dpm_solver_2m)
 from siss_tpu.diffusion.schedule import NoiseSchedule
 
 
@@ -30,7 +31,8 @@ class Evaluator:
 
     def __init__(self, eps_apply: Callable, schedule: NoiseSchedule,
                  sample_shape: tuple, num_inference_steps: int = 50,
-                 random_seed: int = 0, solver: str = "ddpm", mesh=None):
+                 random_seed: int = 0, solver: str = "ddpm", mesh=None,
+                 injection_steps: int = 10):
         """``eps_apply(params, x, t, cond) -> eps``; ``sample_shape`` is
         (H, W, C). ``solver``: "ddpm" (reference-parity ancestral loop) or
         "dpm" (DPM-Solver++(2M) — comparable quality in 10-20 steps).
@@ -47,6 +49,11 @@ class Evaluator:
         if solver not in ("ddpm", "dpm"):
             raise ValueError(f"Unknown solver {solver!r}: choose ddpm or dpm")
         self.solver = solver
+        # "dpm" also routes denoising injections (``denoise_images``,
+        # reference ``evaluate.py:64-79``) through the DPM-Solver++(2M)
+        # reverse ODE in ~injection_steps model calls instead of the
+        # ancestral loop's t_start+1 calls
+        self.injection_steps = injection_steps
         self._batch_sharding = None
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -90,6 +97,9 @@ class Evaluator:
             def eps_fn(x, t, cond):
                 return self.eps_apply(params, x, t, cond)
 
+            if self.solver == "dpm":
+                return denoise_from_t_dpm(eps_fn, self.schedule, x_t, t_start,
+                                          num_inference_steps=self.injection_steps)
             return denoise_from_t(eps_fn, self.schedule, key, x_t, t_start)
 
         return fn

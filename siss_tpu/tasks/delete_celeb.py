@@ -118,6 +118,7 @@ class DeleteCeleb(Task):
                               num_inference_steps=int(cfg.pipeline.num_inference_steps),
                               random_seed=int(cfg.random_seed),
                               solver=str(cfg.pipeline.get("solver", "ddpm")),
+                              injection_steps=int(cfg.pipeline.get("injection_steps", 10)),
                               mesh=mesh)
 
         metrics_cfg = cfg.get("metrics") or {}

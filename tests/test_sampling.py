@@ -103,3 +103,25 @@ def test_evaluator_surface():
 
     grid = Evaluator.make_grid_from_images(imgs)
     assert grid.ndim == 3 and grid.shape[-1] == 1
+
+
+def test_evaluator_dpm_injection_routing():
+    """solver="dpm" routes ``denoise_images`` through the DPM-Solver++(2M)
+    reverse ODE (``injection_steps`` model calls) — the task-level
+    counterpart of bench.py's fast-eval path. Must match the direct
+    ``denoise_from_t_dpm`` call exactly (same grid, deterministic)."""
+    from siss_tpu.diffusion.sampling import denoise_from_t_dpm
+
+    sched = NoiseSchedule.create(1000, "linear")
+    oracle = _gaussian_oracle_eps(0.0, 0.1)(sched)
+
+    def eps_apply(params, x, t, cond):
+        return oracle(x, t, cond)
+
+    ev = Evaluator(eps_apply, sched, (8, 8, 1), solver="dpm", injection_steps=6)
+    noisy = np.random.default_rng(1).normal(size=(2, 8, 8, 1)).astype(np.float32)
+    den = ev.denoise_images({}, noisy, timestep=250)
+    direct = denoise_from_t_dpm(lambda x, t, c: oracle(x, t, c), sched,
+                                jnp.asarray(noisy), 250, num_inference_steps=6)
+    direct = np.clip((np.asarray(direct) + 1.0) / 2.0, 0.0, 1.0)
+    np.testing.assert_allclose(den, direct, atol=1e-6)
