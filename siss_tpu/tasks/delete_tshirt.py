@@ -104,6 +104,7 @@ class DeleteTShirt(Task):
                               num_inference_steps=int(cfg.pipeline.num_inference_steps),
                               random_seed=int(cfg.random_seed),
                               solver=str(cfg.pipeline.get("solver", "ddpm")),
+                              injection_steps=int(cfg.pipeline.get("injection_steps", 10)),
                               mesh=mesh)
         metrics_cfg = cfg.get("metrics") or {}
         # canonical t-shirt image: from file if present, else first forget
