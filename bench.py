@@ -273,9 +273,12 @@ def main():
                         "(default: float32; bfloat16 halves their HBM traffic "
                         "and footprint)")
     p.add_argument("--attention-impl", default="auto",
-                   choices=("auto", "einsum", "flash"),
+                   choices=("auto", "einsum", "einsum_remat", "flash"),
                    help="sd only: self-attention implementation (auto = Pallas "
-                        "flash kernel for the 4096/1024-token levels on TPU)")
+                        "flash kernel for the 4096/1024-token levels on TPU; "
+                        "einsum_remat = einsum math with the attention core "
+                        "checkpointed so q/k/v replace the fp32 logits as "
+                        "the saved residuals)")
     p.add_argument("--no-remat-attention", action="store_true",
                    help="sd only: with --remat, remat only the resnets and "
                         "keep transformer blocks un-rematted")

@@ -49,11 +49,14 @@ class UNet2DConditionConfig:
     freq_shift: int = 0
     gradient_checkpointing: bool = False
     # Attention implementation: "einsum" (materialized fp32 logits),
-    # "flash" (Pallas TPU flash-attention kernel, O(N) memory), or "auto"
-    # (flash for long self-attention on TPU, einsum otherwise). The 4096-
-    # and 1024-token self-attentions dominate the SD step's HBM traffic
-    # when materialized (512 MB of fp32 logits per forward at 64×64
-    # latents) — flash eliminates both the logits and their gradient.
+    # "einsum_remat" (einsum math, but the QK→softmax→AV core of the
+    # 4096/1024-token self-attentions is jax.checkpoint'ed so only bf16
+    # q/k/v are saved for backward — O(N²)→O(N·d) residuals at full MXU
+    # efficiency), "flash" (Pallas TPU flash-attention kernel, O(N)
+    # memory), or "auto" (flash for long self-attention on TPU, einsum
+    # otherwise). The 4096- and 1024-token self-attentions dominate the
+    # SD step's HBM traffic when materialized (512 MB of fp32 logits per
+    # forward at 64×64 latents).
     attention_impl: str = "auto"
     # With gradient_checkpointing, also remat the Transformer2D blocks
     # (True = the reference's blanket ``enable_gradient_checkpointing``).
@@ -94,7 +97,7 @@ class CrossAttention(nn.Module):
     dim_head: int
     context_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
-    impl: str = "auto"  # "einsum" | "flash" | "auto"
+    impl: str = "auto"  # "einsum" | "einsum_remat" | "flash" | "auto"
 
     def _use_flash(self, is_self: bool, n_q: int) -> bool:
         # kernel-compatible sites only: self-attention, seq a multiple of
@@ -138,9 +141,22 @@ class CrossAttention(nn.Module):
 
             out = flash_attention(q, k, v, sm_scale=scale)
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            def core(q, k, v):
+                attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+                attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+                return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+            if self.impl == "einsum_remat" and is_self and Nq >= 1024:
+                # Surgical remat of just the QK→softmax→AV core: save the
+                # O(N·d) bf16 q/k/v instead of the O(N²) fp32 softmax
+                # residuals (512 MB/layer at 64×64 latents), recompute the
+                # logits in backward. Unlike blanket block remat this keeps
+                # every resnet/dense activation saved — only the two
+                # attention einsums re-run. Applied at the 4096/1024-token
+                # self-attention levels where the logits dominate; the
+                # 77-token cross-attention and 256-token sites stay saved.
+                core = jax.checkpoint(core)
+            out = core(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 

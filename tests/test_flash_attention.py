@@ -38,6 +38,33 @@ def test_flash_wiring_rules():
     assert CrossAttention(320, 8, 40, impl="flash")._use_flash(True, 4096)
 
 
+def test_einsum_remat_matches_einsum_exactly():
+    """einsum_remat is the SAME math as einsum — jax.checkpoint only changes
+    what is saved for backward (bf16 q/k/v instead of the fp32 softmax
+    residuals), so value and gradients must match bit-for-bit, at a
+    remat-triggering self-attention length (N ≥ 1024)."""
+    heads, d, N = 2, 8, 1024
+    q_dim = heads * d
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, N, q_dim)), jnp.bfloat16)
+    outs = {}
+    for impl in ("einsum", "einsum_remat"):
+        m = CrossAttention(q_dim, heads, d, dtype=jnp.bfloat16, impl=impl)
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return (m.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+        val, grad = jax.jit(jax.value_and_grad(loss))(params)
+        outs[impl] = (val, grad)
+    assert outs["einsum"][0] == outs["einsum_remat"][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs["einsum"][1], outs["einsum_remat"][1])
+    # wiring: einsum_remat must never route to the flash kernel
+    assert not CrossAttention(320, 8, 40, impl="einsum_remat")._use_flash(True, 4096)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas flash-attention kernel is TPU-only")
 @pytest.mark.parametrize("N,d,heads", [(4096, 40, 8), (1024, 80, 8)])
