@@ -313,9 +313,14 @@ def main():
                         "docs/RESULTS.md). The A100 denominator still "
                         "charges the reference its own 50-step DDPM + "
                         "ancestral-injection eval cost.")
+    p.add_argument("--injection-timestep", type=int, default=250,
+                   help="--include-eval: diffusion timestep the forget "
+                        "image is noised to before the denoising injection "
+                        "(reference `timestep_to_noise_to: 250`); the "
+                        "ancestral injection costs t+1 model calls")
     p.add_argument("--injection-steps", type=int, default=10,
-                   help="--eval-solver dpm: model calls for the t=250 "
-                        "injection (vs the ancestral loop's t+1=251)")
+                   help="--eval-solver dpm: model calls for the injection "
+                        "(vs the ancestral loop's t+1)")
     p.add_argument("--optimizer", default="adamw",
                    choices=("adamw", "adafactor"),
                    help="sd only: adafactor = factored second moments "
@@ -377,6 +382,7 @@ def main():
                      eval_batch_size=args.eval_batch_size,
                      eval_inference_steps=args.eval_inference_steps,
                      eval_solver=args.eval_solver,
+                     injection_timestep=args.injection_timestep,
                      injection_steps=args.injection_steps)
 
     K = max(int(args.opt_steps_per_call), 1)
@@ -436,9 +442,10 @@ def main():
             # eval with its 50-step DDPM sample + (t+1)-call ancestral
             # injection (config/delete_celeb.yaml:140-141, evaluate.py:64-79)
             # — scale our per-call FLOPs up to the reference's call counts
-            inj_calls = max(2, min(args.injection_steps, 251))
+            ref_inj_calls = args.injection_timestep + 1
+            inj_calls = max(2, min(args.injection_steps, ref_inj_calls))
             ref_eval_flops = (sample_flops * 50.0 / args.eval_inference_steps
-                              + denoise_flops * 251.0 / inj_calls)
+                              + denoise_flops * ref_inj_calls / inj_calls)
         jax.block_until_ready((sample_c(state.params, ekey),
                                denoise_c(state.params, x_t, ekey)))
     # MFU uses the FLOPs we actually execute; the A100 denominator charges

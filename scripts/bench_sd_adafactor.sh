@@ -7,22 +7,10 @@ OUT=${OUT:-/root/repo/docs/bench/bench_sd_adafactor.jsonl}
 mkdir -p "$(dirname "$OUT")"
 cd /root/repo
 
-run() {
-  tag="$1"; shift
-  echo "[adafactor] $tag: bench.py $*" >&2
-  # capture python's own exit status (not tail's) via a temp file, and
-  # only record a success row when the last line parses as JSON — a
-  # crashed bench must not corrupt the JSONL with partial output
-  timeout 2400 python bench.py --workload sd "$@" >/tmp/bench_af_out.log 2>/tmp/bench_af_err.log
-  rc=$?
-  line=$(tail -1 /tmp/bench_af_out.log)
-  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
-    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
-  else
-    err=$(tail -c 300 /tmp/bench_af_err.log | tr '\n' ' ' | tr '"' "'")
-    echo "{\"tag\": \"$tag\", \"rc\": $rc, \"error\": \"$err\"}" >> "$OUT"
-  fi
-}
+. "$(dirname "$0")/lib_bench_record.sh"
+BENCH_PREFIX=adafactor
+BENCH_OUT=$OUT
+run() { local t="$1"; shift; bench_record "$t" --workload sd "$@"; }
 
 # control anchor (known shape): adamw bs1, memory-efficient
 run adamw_bs1_ctrl --memory-efficient --batch-size 1 --accum 16 --remat --attention-impl einsum

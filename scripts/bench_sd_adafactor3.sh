@@ -11,19 +11,10 @@ OUT=${OUT:-/root/repo/docs/bench/bench_sd_adafactor.jsonl}
 mkdir -p "$(dirname "$OUT")"
 cd /root/repo
 
-run() {
-  tag="$1"; shift
-  echo "[adafactor3] $tag: bench.py $*" >&2
-  timeout 2400 python bench.py --workload sd "$@" >/tmp/bench_af_out.log 2>/tmp/bench_af_err.log
-  rc=$?
-  line=$(tail -1 /tmp/bench_af_out.log)
-  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
-    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
-  else
-    err=$(tail -c 300 /tmp/bench_af_err.log | tr '\n' ' ' | tr '"' "'")
-    echo "{\"tag\": \"$tag\", \"rc\": $rc, \"error\": \"$err\"}" >> "$OUT"
-  fi
-}
+. "$(dirname "$0")/lib_bench_record.sh"
+BENCH_PREFIX=adafactor3
+BENCH_OUT=$OUT
+run() { local t="$1"; shift; bench_record "$t" --workload sd "$@"; }
 
 run af_bs4_flash  --optimizer adafactor --batch-size 4 --accum 4 --attention-impl flash --grad-accum-dtype bfloat16
 run af_bs8_flash  --optimizer adafactor --batch-size 8 --accum 2 --attention-impl flash --grad-accum-dtype bfloat16

@@ -10,19 +10,10 @@ OUT=${OUT:-/root/repo/docs/bench/bench_sd_adafactor.jsonl}
 mkdir -p "$(dirname "$OUT")"
 cd /root/repo
 
-run() {
-  tag="$1"; shift
-  echo "[einsum_remat] $tag: bench.py $*" >&2
-  timeout 2400 python bench.py --workload sd "$@" >/tmp/bench_er_out.log 2>/tmp/bench_er_err.log
-  rc=$?
-  line=$(tail -1 /tmp/bench_er_out.log)
-  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
-    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
-  else
-    err=$(tail -c 300 /tmp/bench_er_err.log | tr '\n' ' ' | tr '"' "'")
-    echo "{\"tag\": \"$tag\", \"rc\": $rc, \"error\": \"$err\"}" >> "$OUT"
-  fi
-}
+. "$(dirname "$0")/lib_bench_record.sh"
+BENCH_PREFIX=einsum_remat
+BENCH_OUT=$OUT
+run() { local t="$1"; shift; bench_record "$t" --workload sd "$@"; }
 
 run af_bs4_einsumremat  --optimizer adafactor --batch-size 4 --accum 4 --attention-impl einsum_remat --grad-accum-dtype bfloat16
 run af_bs8_einsumremat  --optimizer adafactor --batch-size 8 --accum 2 --attention-impl einsum_remat --grad-accum-dtype bfloat16

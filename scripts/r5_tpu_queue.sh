@@ -15,19 +15,10 @@ fi
 
 bash scripts/bench_sd_adafactor3.sh
 
-run() {
-  tag="$1"; shift
-  echo "[fasteval] $tag: bench.py $*" >&2
-  timeout 2400 python bench.py "$@" >/tmp/bench_fe_out.log 2>/tmp/bench_fe_err.log
-  rc=$?
-  line=$(tail -1 /tmp/bench_fe_out.log)
-  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
-    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$Q"
-  else
-    err=$(tail -c 300 /tmp/bench_fe_err.log | tr '\n' ' ' | tr '"' "'")
-    echo "{\"tag\": \"$tag\", \"rc\": $rc, \"error\": \"$err\"}" >> "$Q"
-  fi
-}
+. "$(dirname "$0")/lib_bench_record.sh"
+BENCH_PREFIX=fasteval
+BENCH_OUT=$Q
+run() { local t="$1"; shift; bench_record "$t" "$@"; }
 
 # celeb TASK step incl. every-step eval, reference shape and re-shape,
 # DPM-Solver++(2M) fast eval (10-step sample + 10-call injection) vs the

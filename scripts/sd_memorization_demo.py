@@ -87,9 +87,8 @@ def setup(args):
     import optax
     import orbax.checkpoint as ocp
 
-    from siss_tpu.diffusion.sd_pipeline import StableDiffusionPipeline, sd_noise_schedule
+    from siss_tpu.diffusion.sd_pipeline import sd_noise_schedule
     from siss_tpu.diffusion.schedule import q_sample
-    from siss_tpu.metrics.kmeans_mem import KMeansMemClassifier
     from siss_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
     from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
     from siss_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig

@@ -99,7 +99,14 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"  # "einsum" | "einsum_remat" | "flash" | "auto"
 
+    _IMPLS = ("auto", "einsum", "einsum_remat", "flash")
+
     def _use_flash(self, is_self: bool, n_q: int) -> bool:
+        if self.impl not in self._IMPLS:
+            # a typo'd impl would otherwise silently fall through to the
+            # plain-einsum branch (no flash, no remat) — fail at trace time
+            raise ValueError(f"Unknown attention impl {self.impl!r}; "
+                             f"expected one of {self._IMPLS}")
         # kernel-compatible sites only: self-attention, seq a multiple of
         # the 128 block, head_dim within one 128-lane register tile.
         # Cross-attention's 77-token kv side always stays einsum: its

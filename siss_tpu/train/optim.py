@@ -61,6 +61,29 @@ def cast_nu_dtype(tx: optax.GradientTransformation, nu_dtype) -> optax.GradientT
     return optax.GradientTransformation(init, update)
 
 
+def _add_lr_scaled_decay(wd: float, sched) -> optax.GradientTransformation:
+    """AdamW-semantics decoupled weight decay for a hand-built chain:
+    adds ``lr_t · wd · p`` to the (already lr-scaled, pre-sign-flip)
+    update. ``optax.add_decayed_weights`` cannot express the per-step lr
+    factor, and optax.adafactor's own ``weight_decay_rate`` is an
+    absolute decay applied after lr scaling (ADVICE round-4 medium)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("weight decay requires params")
+        lr = sched(state.count)
+        updates = jax.tree.map(lambda u, p: u + lr * wd * p, updates, params)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _keys(cfg) -> set:
     try:
         return set(cfg.keys())
@@ -125,12 +148,21 @@ def build_optimizer(cfg: Any, lr_scheduler: str = "constant", warmup_steps: int 
         ), optax.clip_by_block_rms(1.0)]
         if bool(cfg.get("multiply_by_parameter_scale", False)):
             txs.append(optax.scale_by_param_block_rms())
+        # lr BEFORE momentum, matching optax.adafactor's ordering: under a
+        # warmup/decay schedule the EMA must smooth lr-scaled updates, not
+        # accumulate full-magnitude directions that a later lr multiply
+        # would shrink. (flip_sign happens in the final scale(-1.0).)
+        txs.append(optax.scale_by_schedule(sched))
         momentum = cfg.get("momentum", None)
         if momentum is not None:
             txs.append(optax.ema(float(momentum), debias=False))
         if wd:
-            txs.append(optax.add_decayed_weights(wd))
-        txs.append(optax.scale_by_learning_rate(sched))
+            # AdamW-style decoupled decay, lr-scaled per step and OUTSIDE
+            # the momentum EMA (like torch AdamW): update += lr_t·wd·p.
+            # With momentum=None this is identical to the previous
+            # add_decayed_weights-then-scale_by_learning_rate chain.
+            txs.append(_add_lr_scaled_decay(wd, sched))
+        txs.append(optax.scale(-1.0))
         return optax.chain(*txs)
     if name in ("sgd",):
         if mu_dtype or nu_dtype:

@@ -53,3 +53,16 @@ def test_adafactor_zero_decay_matches_optax_reference():
         for a, b in zip(jax.tree.leaves(u_ours), jax.tree.leaves(u_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-8)
+
+
+def test_attention_impl_typo_raises():
+    """A typo'd attention impl must fail at trace time instead of silently
+    falling through to the plain-einsum branch (round-5 review)."""
+    import pytest
+
+    from siss_tpu.models.unet2d_cond import CrossAttention
+
+    m = CrossAttention(64, 2, 32, impl="einsum_rematt")
+    x = jnp.zeros((1, 16, 64))
+    with pytest.raises(ValueError, match="attention impl"):
+        m.init(jax.random.PRNGKey(0), x)
