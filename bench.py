@@ -39,7 +39,7 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
              remat_attention: bool = True, include_vae: bool = False,
              fused_surgery: bool = True, grad_accum_dtype: str = None,
              remat_policy: str = None, cast_params_once: bool = False,
-             optimizer: str = "adamw"):
+             optimizer: str = "adamw", ff_impl: str = "saved"):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -53,11 +53,13 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
         cfg = UNet2DConditionConfig(**{**UNet2DConditionConfig.tiny().__dict__,
                                        "gradient_checkpointing": remat,
                                        "attention_impl": attention_impl,
+                                       "ff_impl": ff_impl,
                                        "remat_attention": remat_attention,
                                        "remat_policy": remat_policy})
     else:
         cfg = UNet2DConditionConfig.sd_v1(gradient_checkpointing=remat,
                                           attention_impl=attention_impl,
+                                          ff_impl=ff_impl,
                                           remat_attention=remat_attention,
                                           remat_policy=remat_policy)
     model = UNet2DCondition(cfg, dtype=jnp.bfloat16)
@@ -272,6 +274,10 @@ def main():
                    help="dtype of the two surgery gradient accumulator trees "
                         "(default: float32; bfloat16 halves their HBM traffic "
                         "and footprint)")
+    p.add_argument("--ff-impl", default="saved", choices=("saved", "remat"),
+                   help="sd only: GEGLU feed-forward residuals — saved, or "
+                        "rematerialized in backward (frees the [B,N,10240] "
+                        "projection temps; identical math)")
     p.add_argument("--attention-impl", default="auto",
                    choices=("auto", "einsum", "einsum_remat", "flash"),
                    help="sd only: self-attention implementation (auto = Pallas "
@@ -367,6 +373,7 @@ def main():
             # for every attention_impl variant
             return (*build_sd(args.batch_size, accum, remat, args.memory_efficient,
                               attention_impl="einsum" if anchor else args.attention_impl,
+                              ff_impl="saved" if anchor else args.ff_impl,
                               remat_attention=not args.no_remat_attention,
                               include_vae=args.include_vae,
                               fused_surgery=not args.no_fused_surgery,
@@ -394,7 +401,8 @@ def main():
         K = 1
     flops_per_image = None
     needs_anchor = (args.accum != 1 or args.remat or K > 1
-                    or (args.workload == "sd" and args.attention_impl != "einsum"))
+                    or (args.workload == "sd" and
+                        (args.attention_impl != "einsum" or args.ff_impl != "saved")))
     if needs_anchor:
         anchor_step, anchor_state, anchor_batch, _ = _build(1, False, anchor=True)
         # the anchor DOES device-compile (cost analysis needs the compiled

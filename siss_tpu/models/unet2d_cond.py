@@ -58,6 +58,15 @@ class UNet2DConditionConfig:
     # SD step's HBM traffic when materialized (512 MB of fp32 logits per
     # forward at 64×64 latents).
     attention_impl: str = "auto"
+    # Feed-forward implementation: "saved" (default — the GEGLU
+    # projection/gate activations stay in the saved set) or "remat"
+    # (nn.remat the FF submodule: only its LayerNorm'd input — already a
+    # saved residual — is kept; the [B, N, 2·4·dim] GEGLU projection and
+    # [B, N, 4·dim] gated activation are recomputed in backward). With
+    # attention_impl=einsum_remat these wide per-token temps are the
+    # binding allocation past microbatch 4 (BASELINE.md round-5 SD
+    # section); identical math, ~one extra FF forward per backward.
+    ff_impl: str = "saved"
     # With gradient_checkpointing, also remat the Transformer2D blocks
     # (True = the reference's blanket ``enable_gradient_checkpointing``).
     # False remats only the resnets — with flash attention the transformer
@@ -189,9 +198,12 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    ff_impl: str = "saved"  # "saved" | "remat" — see UNet2DConditionConfig.ff_impl
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        if self.ff_impl not in ("saved", "remat"):
+            raise ValueError(f"Unknown ff impl {self.ff_impl!r}; expected 'saved' or 'remat'")
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
                                impl=self.attention_impl, name="attn1")(h)
@@ -199,7 +211,9 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, self.context_dim,
                                dtype=self.dtype, impl=self.attention_impl, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        FF = (nn.remat(GEGLUFeedForward, prevent_cse=False)
+              if self.ff_impl == "remat" else GEGLUFeedForward)
+        x = x + FF(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -213,6 +227,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    ff_impl: str = "saved"
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -225,6 +240,7 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(
                 self.channels, self.heads, self.channels // self.heads, self.context_dim,
                 dtype=self.dtype, attention_impl=self.attention_impl,
+                ff_impl=self.ff_impl,
                 name=f"transformer_blocks_{d}",
             )(h, context)
         h = h.reshape(B, H, W, self.channels)
@@ -284,7 +300,7 @@ class UNet2DCondition(nn.Module):
                     h = Trans(
                         out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
-                        attention_impl=cfg.attention_impl,
+                        attention_impl=cfg.attention_impl, ff_impl=cfg.ff_impl,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context)
                 skips.append(h)
@@ -298,7 +314,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
         h = Trans(mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                   groups=cfg.norm_num_groups, dtype=self.dtype,
-                  attention_impl=cfg.attention_impl,
+                  attention_impl=cfg.attention_impl, ff_impl=cfg.ff_impl,
                   name="mid_block_attentions_0")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
@@ -319,7 +335,7 @@ class UNet2DCondition(nn.Module):
                     h = Trans(
                         out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
-                        attention_impl=cfg.attention_impl,
+                        attention_impl=cfg.attention_impl, ff_impl=cfg.ff_impl,
                         name=f"up_blocks_{i}_attentions_{j}",
                     )(h, context)
             if not is_final:

@@ -91,6 +91,7 @@ class DeleteSD(Task):
             # 128 and measured slower at every fitting batch — BASELINE.md
             # round-4 SD table); flash where heads fill the 128-lane tile
             "attention_impl": str(cfg.get("attention_impl", "auto")),
+            "ff_impl": str(cfg.get("ff_impl", "saved")),
             "remat_attention": bool(cfg.get("remat_attention", True)),
             "remat_policy": cfg.get("remat_policy") or None,
         }

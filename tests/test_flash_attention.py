@@ -88,3 +88,38 @@ def test_flash_matches_einsum_on_tpu(N, d, heads):
     fv, fg = outs["flash"]
     assert abs(ev - fv) / abs(ev) < 2e-2
     assert abs(eg - fg) / abs(eg) < 2e-2
+
+
+def test_ff_remat_matches_saved_exactly():
+    """ff_impl=remat is the SAME math as saved — nn.remat only changes
+    what is kept for backward (the FF's LayerNorm'd input instead of the
+    [B, N, 8·dim] GEGLU projection temps), so block value and gradients
+    must match bit-for-bit, and the param tree must be name-identical
+    (checkpoint-compatible both ways)."""
+    from siss_tpu.models.unet2d_cond import BasicTransformerBlock
+
+    heads, d, N = 2, 8, 64
+    dim = heads * d
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, N, dim)), jnp.bfloat16)
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 24)), jnp.bfloat16)
+    outs = {}
+    for impl in ("saved", "remat"):
+        m = BasicTransformerBlock(dim, heads, d, context_dim=24,
+                                  dtype=jnp.bfloat16, ff_impl=impl)
+        params = m.init(jax.random.PRNGKey(0), x, ctx)
+
+        def loss(p):
+            return (m.apply(p, x, ctx).astype(jnp.float32) ** 2).sum()
+
+        val, grad = jax.jit(jax.value_and_grad(loss))(params)
+        outs[impl] = (val, grad, params)
+    assert outs["saved"][0] == outs["remat"][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs["saved"][1], outs["remat"][1])
+    assert (jax.tree_util.tree_structure(outs["saved"][2])
+            == jax.tree_util.tree_structure(outs["remat"][2]))
+    with pytest.raises(ValueError, match="Unknown ff impl"):
+        BasicTransformerBlock(dim, heads, d, context_dim=24,
+                              ff_impl="typo").init(jax.random.PRNGKey(0), x, ctx)
