@@ -123,3 +123,32 @@ def test_ff_remat_matches_saved_exactly():
     with pytest.raises(ValueError, match="Unknown ff impl"):
         BasicTransformerBlock(dim, heads, d, context_dim=24,
                               ff_impl="typo").init(jax.random.PRNGKey(0), x, ctx)
+
+
+def test_surgical_remats_compose_bitexact_on_full_unet():
+    """attention_impl=einsum_remat + ff_impl=remat together on the full
+    (tiny) conditional UNet: same params, same output, same grads as the
+    all-saved defaults — the two surgical remat knobs must compose without
+    changing any math."""
+    from siss_tpu.models.unet2d_cond import UNet2DCondition, UNet2DConditionConfig
+
+    base = UNet2DConditionConfig.tiny().__dict__
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 32)), jnp.float32)
+    outs = {}
+    for tag, kw in (("saved", {}),
+                    ("remat", {"attention_impl": "einsum_remat", "ff_impl": "remat"})):
+        m = UNet2DCondition(UNet2DConditionConfig(**{**base, **kw}), dtype=jnp.bfloat16)
+        params = m.init_params(jax.random.PRNGKey(1), batch_size=2, context_len=7)
+
+        def loss(p):
+            return (m.apply({"params": p}, x, t, ctx) ** 2).sum()
+
+        val, grad = jax.jit(jax.value_and_grad(loss))(params)
+        outs[tag] = (val, grad)
+    assert outs["saved"][0] == outs["remat"][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs["saved"][1], outs["remat"][1])
