@@ -39,7 +39,8 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
              remat_attention: bool = True, include_vae: bool = False,
              fused_surgery: bool = True, grad_accum_dtype: str = None,
              remat_policy: str = None, cast_params_once: bool = False,
-             optimizer: str = "adamw", ff_impl: str = "saved"):
+             optimizer: str = "adamw", ff_impl: str = "saved",
+             cache_latents: bool = False):
     """SD-1.x latent-space SISS step (``config/delete_sd.yaml`` workload):
     the conditional UNet over 64×64×4 latents with 77-token text
     conditioning, t≡999, fixed scaling_norm 750. VAE encode is excluded
@@ -102,6 +103,46 @@ def build_sd(batch_size: int, accum: int, remat: bool, memory_efficient: bool = 
     latent_step = build_deletion_train_step(eps_apply, schedule, tx, step_cfg)
     rng = np.random.default_rng(0)
     hw, ch, ctx = cfg.sample_size, cfg.in_channels, cfg.cross_attention_dim
+
+    if include_vae and cache_latents:
+        # end-to-end delete_sd step with the frozen-VAE latent-moments
+        # cache (tasks/delete_sd.py cache_latents knob): the encoder leaves
+        # the hot path; the step selects a flip orientation and samples
+        # z = (mean + σ·ε)·sf from cached moments — distributionally exact
+        # vs the per-step encode. The FLOP anchor still runs the UNCACHED
+        # e2e program, so vs_baseline keeps charging the reference (and the
+        # MFU denominator) its per-step encoder cost (delete_sd.py:879-888).
+        from siss_tpu.data.latent_cache import sample_from_moments
+        from siss_tpu.models.vae import AutoencoderKLConfig
+
+        vcfg = (AutoencoderKLConfig.tiny() if variant == "tiny"
+                else AutoencoderKLConfig.sd_v1())
+        sf = vcfg.scaling_factor
+        lat_hw, lat_ch = hw, ch
+
+        def cached_step(state, moments, key, dyn):
+            k_a, k_d, k_step, k_flip = jax.random.split(key, 4)
+            A, mb = moments["all"].shape[:2]
+            flip = jax.random.bernoulli(k_flip, 0.5, (A, mb, 1, 1, 1))
+            batch = {
+                "all": sample_from_moments(
+                    moments["all"], k_a, flip, sf).astype(jnp.float32),
+                "deletion": sample_from_moments(
+                    moments["deletion"], k_d, flip, sf).astype(jnp.float32),
+                "conditioning": moments["conditioning"],
+            }
+            return latent_step(state, batch, k_step, dyn)
+
+        step = jax.jit(cached_step, donate_argnums=0)
+        state = TrainState.create(params, tx)
+        mom_shape = (accum, batch_size, 2, lat_hw, lat_hw, 2 * lat_ch)
+        batch = {
+            "all": jnp.asarray(rng.normal(size=mom_shape), jnp.bfloat16),
+            "deletion": jnp.asarray(rng.normal(size=mom_shape), jnp.bfloat16),
+            "conditioning": jnp.asarray(
+                rng.normal(size=(accum, batch_size, 77, ctx)), jnp.float32),
+        }
+        return step, state, batch
 
     if include_vae:
         # end-to-end delete_sd step: fold the frozen VAE encode of BOTH
@@ -296,6 +337,13 @@ def main():
     p.add_argument("--include-vae", action="store_true",
                    help="sd only: fold the frozen VAE encode of both 512px "
                         "pixel batches into the step (end-to-end task shape)")
+    p.add_argument("--cache-latents", action="store_true",
+                   help="sd --include-vae only: bench the e2e step with the "
+                        "frozen-VAE latent-moments cache (the task's "
+                        "cache_latents knob) — flip-select + reparameterize "
+                        "from cached moments instead of encoding pixels; the "
+                        "FLOP anchor/denominator still charges the uncached "
+                        "per-step encode the reference performs")
     p.add_argument("--cast-params-once", action="store_true",
                    help="pre-cast the fp32 param tree to bf16 once per step "
                         "outside the microbatch scan instead of at use "
@@ -380,7 +428,8 @@ def main():
                               grad_accum_dtype=args.grad_accum_dtype,
                               remat_policy=args.remat_policy,
                               cast_params_once=args.cast_params_once and not anchor,
-                              optimizer=args.optimizer), None)
+                              optimizer=args.optimizer,
+                              cache_latents=args.cache_latents and not anchor), None)
         return build(args.batch_size, accum, args.image_size, remat,
                      fused_surgery=not args.no_fused_surgery,
                      grad_accum_dtype=args.grad_accum_dtype or "float32",
@@ -400,9 +449,12 @@ def main():
         # step is inherent to this workload — folding would misrepresent it
         K = 1
     flops_per_image = None
+    if args.cache_latents and not (args.workload == "sd" and args.include_vae):
+        p.error("--cache-latents requires --workload sd --include-vae")
     needs_anchor = (args.accum != 1 or args.remat or K > 1
                     or (args.workload == "sd" and
-                        (args.attention_impl != "einsum" or args.ff_impl != "saved")))
+                        (args.attention_impl != "einsum" or args.ff_impl != "saved"
+                         or args.cache_latents)))
     if needs_anchor:
         anchor_step, anchor_state, anchor_batch, _ = _build(1, False, anchor=True)
         # the anchor DOES device-compile (cost analysis needs the compiled

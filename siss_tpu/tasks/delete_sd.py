@@ -227,9 +227,76 @@ class DeleteSD(Task):
 
         random_flip = bool(cfg.get("random_flip"))
 
+        # ---- data sources (needed before the step: the latent cache wraps them)
+        def strip_label(ds):
+            class _Imgs:
+                def __len__(self_inner):
+                    return len(ds)
+
+                def __getitem__(self_inner, i):
+                    return ds[i][0]
+
+            return _Imgs()
+
+        keep_imgs, mem_imgs = strip_label(all_data), strip_label(memorized_data)
+        bs_local = process_batch_slice(bs)
+
+        # ---- frozen-VAE latent-moments cache (cache_latents: auto|true|false).
+        # The encoder is frozen + deterministic and both streams are finite
+        # datasets, so per-image posterior moments are step-invariant; caching
+        # them once deletes the 512px encoder stack from every step while the
+        # fresh per-step reparameterization noise keeps the training
+        # distribution EXACTLY the reference's per-step encode
+        # (``delete_sd.py:879-888``). See ``data/latent_cache.py``.
+        from siss_tpu.data.latent_cache import (build_moment_cache, cache_nbytes,
+                                                sample_from_moments)
+
+        cache_mode = str(cfg.get("cache_latents", "auto")).lower()
+        use_cached_latents = False
+        if cache_mode not in ("false", "0", "none", "off", ""):
+            nbytes = cache_nbytes(
+                len(keep_imgs) + len(mem_imgs), res, vae_scale_factor,
+                vae_cfg.latent_channels, random_flip,
+                jnp.dtype(dtype).itemsize)
+            budget = float(cfg.get("cache_latents_budget_mb", 4096) or 4096) * 2**20
+            use_cached_latents = (nbytes <= budget) if cache_mode == "auto" else True
+            if cache_mode != "auto" and nbytes > budget:
+                print(f"[delete_sd] cache_latents=true: cache is "
+                      f"{nbytes / 2**20:.0f} MiB (> budget {budget / 2**20:.0f} MiB); "
+                      f"honoring the explicit request")
+        if use_cached_latents:
+            def enc_moments(imgs):
+                return vae.apply({"params": vae_params}, imgs,
+                                 method=vae.encode_moments)
+
+            keep_src = build_moment_cache(enc_moments, keep_imgs, bs_local, random_flip)
+            mem_src = build_moment_cache(enc_moments, mem_imgs, bs_local, random_flip)
+            print(f"[delete_sd] latent cache: {len(keep_imgs)}+{len(mem_imgs)} images "
+                  f"→ {(keep_src.nbytes + mem_src.nbytes) / 2**20:.1f} MiB moments "
+                  f"({'both orientations' if random_flip else 'one orientation'}); "
+                  f"per-step VAE encode elided")
+        else:
+            keep_src, mem_src = keep_imgs, mem_imgs
+        sf = float(vae_cfg.scaling_factor)
+
         def sd_step_core(state, images, key, dyn):
             k_enc_a, k_enc_d, k_step, k_flip = jax.random.split(key, 4)
             A, mb = images["all"].shape[:2]
+
+            if use_cached_latents:
+                # identical RNG consumption to the pixel path: one shared
+                # Bernoulli flip mask, one key-split per accumulation
+                # microbatch, one normal per microbatch
+                flip_bits = (jax.random.bernoulli(k_flip, 0.5, (A, mb, 1, 1, 1))
+                             if random_flip else None)
+                cond = jnp.broadcast_to(train_cond, (mb, *train_cond.shape[-2:]))
+                cond = jnp.broadcast_to(cond[None], (A, mb, *train_cond.shape[-2:]))
+                batch = {
+                    "all": sample_from_moments(images["all"], k_enc_a, flip_bits, sf),
+                    "deletion": sample_from_moments(images["deletion"], k_enc_d, flip_bits, sf),
+                    "conditioning": cond,
+                }
+                return latent_step(state, batch, k_step, dyn)
 
             if random_flip:
                 # keyed horizontal flip inside the jitted step
@@ -260,23 +327,14 @@ class DeleteSD(Task):
         sd_step = jax.jit(sd_step_core, donate_argnums=0)
         state = TrainState.create(unet_params, tx, use_ema=step_cfg.use_ema)
 
-        # ---- data streams: keep infinite; memorized repeated constant
-        def strip_label(ds):
-            class _Imgs:
-                def __len__(self_inner):
-                    return len(ds)
-
-                def __getitem__(self_inner, i):
-                    return ds[i][0]
-
-            return _Imgs()
-
-        keep_imgs, mem_imgs = strip_label(all_data), strip_label(memorized_data)
-        bs_local = process_batch_slice(bs)
-        keep_loader = BatchLoader(keep_imgs, InfiniteSampler(
+        # ---- data streams: keep infinite; memorized repeated constant.
+        # When the latent cache is on the loaders stream cached moments
+        # (identical sampler index sequences — the cache is index-aligned
+        # with the image datasets, so resume fast-forwarding is unchanged)
+        keep_loader = BatchLoader(keep_src, InfiniteSampler(
             len(keep_imgs), rank=jax.process_index(), num_replicas=jax.process_count(),
             seed=int(cfg.seed)), bs_local)
-        forget_loader = BatchLoader(mem_imgs, RepeatedSampler(
+        forget_loader = BatchLoader(mem_src, RepeatedSampler(
             len(mem_imgs), training_steps * accum * bs_local), bs_local)
         keep_it, forget_it = iter(keep_loader), iter(forget_loader)
 

@@ -165,3 +165,10 @@ def test_bench_build_functions_run_one_step():
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["gradient/scaling_factor"]))
+
+    # e2e-with-cached-latents shape (--include-vae --cache-latents)
+    step, state, batch = bench.build_sd(2, 2, False, variant="tiny",
+                                        include_vae=True, cache_latents=True)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), {})
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["gradient/scaling_factor"]))
